@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the rollup engine.
+
+Local-mode settings mirror what a 1000-executor cluster deployment would set
+per-executor; on a real cluster the same builder is used with
+``spark-submit --py-files fusets_spark.zip`` (see plans/pipeline.py docstring).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "fusets-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    cores: local[N] parallelism. Defaults to $SPARK_GRAFT_CPUS or all cores.
+    shuffle_partitions: defaults to max(cores, 32) locally. On a cluster AQE
+        coalesces; start high and let adaptive execution shrink.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count() or 8
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 32)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # keep Arrow batches large enough to amortize the Python hop but small
+        # enough to bound per-batch memory at wide rows
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        # per-partition parquet overwrite == idempotent tier commits
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
