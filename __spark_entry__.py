@@ -13,7 +13,14 @@ Conventions shared by queries and oracles:
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Make fusets_spark importable regardless of the loader's cwd/sys.path.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,6 +36,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # rendering at the Arrow boundary and timestamp literals are not. The
     # DuckDB oracle treats parquet timestamps as naive-UTC.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Ship fusets_spark to executor Python workers (the --py-files story);
+    # the driver process may not have been launched from the repo root.
+    from fusets_spark.session import ship_package
+
+    ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -116,17 +128,57 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_whittaker_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whittaker gap-fill (reference whittaker.py:123-196) over the event
+    stream: per-series dense 1h grid, λ=100. Non-SQL-expressible (banded
+    solve) -> rows-only check; numeric parity is pinned by
+    tests/test_whittaker.py against a dense-solve numpy oracle."""
+    from fusets_spark.operators.whittaker import whittaker_gapfill
+
+    pts = _event_points(spark, sf_dir).select(
+        "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
+    )
+    out = whittaker_gapfill(pts, lmbd=100.0, grid_seconds=3600, groups_per_source=8)
+    return out.select(
+        "source", "doc_id", "ts", F.round("value_smooth", 6).alias("value_smooth")
+    )
+
+
+def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla DoD+XOR block codec (north rule): encode the event stream into
+    per-(series, 1h-bucket) binary blocks, decode, and return restored points.
+
+    The oracle checks encode∘decode == identity: the restored points must
+    equal the plain projection of the input (SQL-expressible!)."""
+    from fusets_spark.codec.blocks import decode_blocks, encode_blocks
+
+    pts = _event_points(spark, sf_dir).select(
+        "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
+    )
+    blocks = encode_blocks(pts, block_seconds=3600)
+    return decode_blocks(blocks).select("source", "doc_id", "ts", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _mk_rollup("1m"),
         "rollup_5m": _mk_rollup("5m"),
         "rollup_1h": _mk_rollup("1h"),
         "pricing_summary": q_pricing_summary,
+        "whittaker_gapfill": q_whittaker_gapfill,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gorilla_roundtrip": """
+SELECT event_type AS source,
+       CAST(user_id AS VARCHAR) AS doc_id,
+       ts,
+       value
+FROM events
+""",
         "rollup_1m": _ROLLUP_ORACLE.format(interval="1 minute"),
         "rollup_5m": _ROLLUP_ORACLE.format(interval="5 minutes"),
         "rollup_1h": _ROLLUP_ORACLE.format(interval="1 hour"),

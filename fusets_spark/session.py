@@ -8,8 +8,34 @@ per-executor; on a real cluster the same builder is used with
 from __future__ import annotations
 
 import os
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+_SHIPPED: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make `fusets_spark` importable on executor Python workers.
+
+    Zips the package and registers it via addPyFile — the same mechanism as
+    `spark-submit --py-files fusets_spark.zip` on a real cluster (north rule).
+    Needed because the driver's sys.path does not propagate to workers.
+    Idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(f"/tmp/fusets_spark-{os.getpid()}.zip")
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                zf.write(p, f"fusets_spark/{p.relative_to(pkg_dir)}")
+    sc.addPyFile(str(zip_path))
+    _SHIPPED.add(key)
 
 
 def get_spark(

@@ -1,0 +1,88 @@
+"""Codec round-trip: encode∘decode = identity on every block (SURVEY.md §5),
+plus compression-ratio sanity and Spark-side block operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fusets_spark.codec.gorilla import decode_block, encode_block
+
+
+def _roundtrip(ts, vals):
+    ts = np.asarray(ts, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+    blk = encode_block(ts, vals)
+    ts2, vals2 = decode_block(blk)
+    assert np.array_equal(ts, ts2)
+    assert np.array_equal(vals.view(np.uint64), vals2.view(np.uint64))
+    return blk
+
+
+def test_empty_and_singleton():
+    _roundtrip([], [])
+    _roundtrip([1700000000], [3.14159])
+
+
+def test_regular_cadence_constant_value():
+    ts = 1700000000 + 60 * np.arange(1000)
+    blk = _roundtrip(ts, np.full(1000, 42.5))
+    # DoD==0 and XOR==0 -> ~2 bits/point after header
+    assert len(blk) < 300
+
+
+def test_irregular_and_special_floats():
+    ts = np.cumsum(np.asarray([10**9, 1, 59, 61, 3600, 2, 2, 86400, 5]))
+    vals = np.asarray([0.0, -0.0, np.nan, np.inf, -np.inf, 1e-308, 1e308, -1.5, 0.1])
+    _roundtrip(ts, vals)
+
+
+def test_decreasing_and_negative_timestamps():
+    _roundtrip([-5, -4, 0, 1000, 999], [1.0, 2.0, 3.0, 4.0, 5.0])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    deltas=st.lists(st.integers(min_value=-(2**40), max_value=2**40), max_size=80),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_roundtrip_property(deltas, seed):
+    ts = np.cumsum(np.asarray([1700000000] + deltas, dtype=np.int64))
+    rng = np.random.default_rng(seed)
+    vals = rng.normal(scale=10.0, size=len(ts))
+    vals[rng.random(len(ts)) < 0.1] = np.nan
+    _roundtrip(ts, vals)
+
+
+def test_compression_ratio_on_token_series():
+    # quantized harmonic (token-like) at 1s cadence: XOR paths short
+    pos = np.arange(4096)
+    vals = np.round(
+        (0.5 + 0.3 * np.cos(2 * np.pi * pos / 96.0)) * 10000
+    ).astype(np.float64)
+    blk = encode_block(1700000000 + pos, vals)
+    raw = 16 * len(pos)
+    assert len(blk) < raw / 3, f"ratio {raw/len(blk):.2f}x too low"
+
+
+def test_spark_block_roundtrip(spark):
+    from fusets_spark.codec.blocks import decode_blocks, encode_blocks
+    from fusets_spark.datagen import generate_tokens
+    from fusets_spark.operators.explode import explode_raw
+
+    pts = explode_raw(generate_tokens(spark, 60, min_tok=32, max_tok=300))
+    blocks = encode_blocks(pts, block_seconds=60)
+    back = decode_blocks(blocks)
+
+    a = pts.select("source", "doc_id", "ts", "value").toPandas()
+    b = back.toPandas()
+    key = ["source", "doc_id", "ts"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    meta = blocks.agg({"n_points": "sum"}).collect()[0][0]
+    assert meta == len(a)
