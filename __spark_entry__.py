@@ -159,8 +159,125 @@ def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_blocks(blocks).select("source", "doc_id", "ts", "value")
 
 
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal z-score outlier filter (reference temporal_outliers.py:48-70):
+    20-day centered rolling mean/std (ddof=1), |z|>3 -> rolling mean."""
+    from fusets_spark.operators.outliers import temporal_outliers
+
+    pts = _event_points(spark, sf_dir)
+    out = temporal_outliers(pts, window="20D", threshold=3.0)
+    return out.select(
+        "source",
+        "doc_id",
+        "ts",
+        F.round("value_filtered", 6).alias("value_filtered"),
+    )
+
+
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-padded t±1/t±2 features + trend/volatility (reference
+    improved_s1_ndvi_fusion_v2.py:94-155)."""
+    from fusets_spark.operators.windows import lag_lead_features
+
+    pts = _event_points(spark, sf_dir)
+    out = lag_lead_features(pts)
+    cols = ["v_lag1", "v_lag2", "v_lead1", "v_lead2", "avg3", "avg5",
+            "backward_diff", "forward_diff", "trend", "volatility"]
+    return out.select(
+        "source", "doc_id", "ts",
+        *[F.round(c, 6).alias(c) for c in cols],
+    )
+
+
+def q_time_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series time derivative (reference differentiate('time'),
+    _phenolopy.py:1342)."""
+    from fusets_spark.operators.windows import time_derivative
+
+    pts = _event_points(spark, sf_dir)
+    return time_derivative(pts).select(
+        "source", "doc_id", "ts", F.round("dvdt", 6).alias("dvdt")
+    )
+
+
+def q_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of nulls along time (reference
+    interpolate_na(dim='time'), _phenolopy.py:601-690). Nulls are injected
+    deterministically (error events) to exercise the gap path."""
+    from fusets_spark.operators.windows import linear_interpolate
+
+    pts = _event_points(spark, sf_dir).withColumn(
+        "value", F.when(F.col("source") != "error", F.col("value"))
+    ).withColumn("source", F.lit("all"))
+    return linear_interpolate(pts).select(
+        "doc_id", "ts", F.round("value_interp", 6).alias("value_interp")
+    )
+
+
+def q_resample_day_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resample, mean reducer (reference _phenolopy.py:448-511)."""
+    from fusets_spark.operators.resample import resample
+
+    pts = _event_points(spark, sf_dir)
+    out = resample(pts, "day", "mean")
+    return out.select(
+        "source", "doc_id", "bucket_ts",
+        F.round("value", 6).alias("value"), "n_obs",
+    )
+
+
+def q_resample_week_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resample, EXACT median reducer (reference _phenolopy.py:498)."""
+    from fusets_spark.operators.resample import resample
+
+    pts = _event_points(spark, sf_dir)
+    out = resample(pts, "week", "median")
+    return out.select(
+        "source", "doc_id", "bucket_ts",
+        F.round("value", 6).alias("value"), "n_obs",
+    )
+
+
+def q_calendar_month_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar group-reduce across years (reference _phenolopy.py:514-598)."""
+    from fusets_spark.operators.resample import group_by_calendar
+
+    pts = _event_points(spark, sf_dir)
+    out = group_by_calendar(pts, "month", "mean")
+    return out.select(
+        "source", "doc_id", "month", F.round("value", 6).alias("value"), "n_obs"
+    )
+
+
+def q_phenometrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series phenology metrics (reference _phenolopy.py:2317-2537) as a
+    single declarative plan — POS/VOS/AOS/BSE/MOS/SOS/EOS/LOS/ROI/ROD +
+    trapezoidal integrals."""
+    from fusets_spark.operators.phenology import phenometrics
+
+    pts = _event_points(spark, sf_dir)
+    m = phenometrics(pts, factor=0.5)
+    dbl = ["pos_value", "vos_value", "aos_value", "bse_value", "mos_value",
+           "sos_value", "eos_value", "roi_value", "rod_value",
+           "lios_value", "liot_value"]
+    ints = ["pos_doy", "vos_doy", "sos_doy", "eos_doy", "los_value"]
+    return m.select(
+        "source", "doc_id",
+        *[F.round(c, 6).alias(c) for c in dbl],
+        *[F.col(c).cast("long").alias(c) for c in ints],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "zscore_outliers": q_zscore_outliers,
+        "lag_features": q_lag_features,
+        "time_derivative": q_time_derivative,
+        "linear_interpolate": q_linear_interpolate,
+        "resample_day_mean": q_resample_day_mean,
+        "resample_week_median": q_resample_week_median,
+        "calendar_month_stats": q_calendar_month_stats,
+        "phenometrics": q_phenometrics,
         "rollup_1m": _mk_rollup("1m"),
         "rollup_5m": _mk_rollup("5m"),
         "rollup_1h": _mk_rollup("1h"),
@@ -170,8 +287,204 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_ZSCORE_ORACLE = """
+WITH w AS (
+  SELECT event_type AS source, user_id AS doc_id, ts, value,
+         avg(value) OVER win AS m,
+         stddev_samp(value) OVER win AS s
+  FROM events
+  WINDOW win AS (PARTITION BY event_type, user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 10 DAYS PRECEDING AND INTERVAL 10 DAYS FOLLOWING)
+)
+SELECT source, doc_id, ts,
+       round(CASE WHEN s IS NULL OR s = 0 THEN value
+                  WHEN abs((value - m) / s) > 3 THEN m
+                  ELSE value END, 6) AS value_filtered
+FROM w
+"""
+
+_LAG_FEATURES_ORACLE = """
+WITH w AS (
+  SELECT event_type AS source, user_id AS doc_id, ts, value,
+         coalesce(lag(value, 1) OVER wo, value) AS l1,
+         coalesce(lag(value, 2) OVER wo, lag(value, 1) OVER wo, value) AS l2,
+         coalesce(lead(value, 1) OVER wo, value) AS p1,
+         coalesce(lead(value, 2) OVER wo, lead(value, 1) OVER wo, value) AS p2
+  FROM events
+  WINDOW wo AS (PARTITION BY event_type, user_id ORDER BY ts)
+)
+SELECT source, doc_id, ts,
+       round(l1, 6) AS v_lag1, round(l2, 6) AS v_lag2,
+       round(p1, 6) AS v_lead1, round(p2, 6) AS v_lead2,
+       round((l1 + value + p1) / 3, 6) AS avg3,
+       round((l2 + l1 + value + p1 + p2) / 5, 6) AS avg5,
+       round(value - l1, 6) AS backward_diff,
+       round(p1 - value, 6) AS forward_diff,
+       round((2 * (p1 - value) + (value - l1)) / 3, 6) AS trend,
+       round(abs(p1 - value) + abs(value - l1), 6) AS volatility
+FROM w
+"""
+
+_DERIV_ORACLE = """
+SELECT event_type AS source, user_id AS doc_id, ts,
+       round((value - lag(value) OVER wo)
+             / ((epoch_us(ts) - lag(epoch_us(ts)) OVER wo) / 1000000.0),
+             6) AS dvdt
+FROM events
+WINDOW wo AS (PARTITION BY event_type, user_id ORDER BY ts)
+"""
+
+_INTERP_ORACLE = """
+WITH p AS (
+  SELECT user_id AS doc_id, ts,
+         CASE WHEN event_type <> 'error' THEN value END AS v
+  FROM events
+), w AS (
+  SELECT doc_id, ts, v,
+    last_value(v IGNORE NULLS) OVER
+      (PARTITION BY doc_id ORDER BY ts
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    first_value(v IGNORE NULLS) OVER
+      (PARTITION BY doc_id ORDER BY ts
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER
+      (PARTITION BY doc_id ORDER BY ts
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER
+      (PARTITION BY doc_id ORDER BY ts
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM p
+)
+SELECT doc_id, ts,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  WHEN nt = pt THEN pv
+                  ELSE pv + (nv - pv) * (epoch_us(ts) - pt) / (nt - pt)
+             END, 6) AS value_interp
+FROM w
+"""
+
+_PHENO_ORACLE = """
+WITH p AS (
+  SELECT event_type AS source, user_id AS doc_id, ts, value,
+         dayofyear(ts) AS doy
+  FROM events
+), ann AS (
+  SELECT *,
+         max(value) OVER w AS pos_value,
+         min(value) OVER w AS vos_value,
+         lead(value) OVER wo AS next_v,
+         lead(doy) OVER wo AS next_doy
+  FROM p
+  WINDOW w AS (PARTITION BY source, doc_id),
+         wo AS (PARTITION BY source, doc_id ORDER BY ts)
+), ann2 AS (
+  SELECT *,
+         min(CASE WHEN value = pos_value THEN doy END) OVER w2 AS pos_doy,
+         min(CASE WHEN value = vos_value THEN doy END) OVER w2 AS vos_doy
+  FROM ann
+  WINDOW w2 AS (PARTITION BY source, doc_id)
+), ann3 AS (
+  SELECT *,
+         vos_value + 0.5 * (pos_value - vos_value) AS target,
+         doy <= pos_doy AS is_left,
+         doy >= pos_doy AS is_right,
+         (value + next_v) / 2 * (next_doy - doy) AS trap_term
+  FROM ann2
+), base AS (
+  SELECT source, doc_id,
+         any_value(pos_value) AS pos_value, any_value(pos_doy) AS pos_doy,
+         any_value(vos_value) AS vos_value, any_value(vos_doy) AS vos_doy,
+         any_value(pos_value) - any_value(vos_value) AS aos_value,
+         (min(CASE WHEN is_left THEN value END)
+          + min(CASE WHEN is_right THEN value END)) / 2 AS bse_value,
+         (avg(CASE WHEN is_left AND value >= 0.8 * pos_value
+                   THEN value END)
+          + avg(CASE WHEN is_right AND value >= 0.8 * pos_value
+                     THEN value END)) / 2 AS mos_value,
+         sum(trap_term) AS liot_value
+  FROM ann3 GROUP BY source, doc_id
+), sos AS (
+  SELECT source, doc_id, value AS sos_value, doy AS sos_doy
+  FROM ann3
+  QUALIFY row_number() OVER (PARTITION BY source, doc_id
+    ORDER BY CASE WHEN is_left THEN abs(value - target)
+                  ELSE 'infinity'::DOUBLE END,
+             doy, epoch_us(ts)) = 1
+), eos AS (
+  SELECT source, doc_id, value AS eos_value, doy AS eos_doy
+  FROM ann3
+  QUALIFY row_number() OVER (PARTITION BY source, doc_id
+    ORDER BY CASE WHEN is_right THEN abs(value - target)
+                  ELSE 'infinity'::DOUBLE END,
+             doy, epoch_us(ts)) = 1
+), lios AS (
+  SELECT a.source, a.doc_id, sum(a.trap_term) AS lios_value
+  FROM ann3 a
+  JOIN sos USING (source, doc_id)
+  JOIN eos USING (source, doc_id)
+  WHERE a.doy >= sos.sos_doy AND a.next_doy <= eos.eos_doy
+  GROUP BY a.source, a.doc_id
+)
+SELECT b.source, b.doc_id,
+       round(b.pos_value, 6) AS pos_value,
+       round(b.vos_value, 6) AS vos_value,
+       round(b.aos_value, 6) AS aos_value,
+       round(b.bse_value, 6) AS bse_value,
+       round(b.mos_value, 6) AS mos_value,
+       round(s.sos_value, 6) AS sos_value,
+       round(e.eos_value, 6) AS eos_value,
+       round(CASE WHEN b.pos_doy <> s.sos_doy
+                  THEN (b.pos_value - s.sos_value) / (b.pos_doy - s.sos_doy)
+             END, 6) AS roi_value,
+       round(CASE WHEN e.eos_doy <> b.pos_doy
+                  THEN (e.eos_value - b.pos_value) / (e.eos_doy - b.pos_doy)
+             END, 6) AS rod_value,
+       round(l.lios_value, 6) AS lios_value,
+       round(b.liot_value, 6) AS liot_value,
+       CAST(b.pos_doy AS BIGINT) AS pos_doy,
+       CAST(b.vos_doy AS BIGINT) AS vos_doy,
+       CAST(s.sos_doy AS BIGINT) AS sos_doy,
+       CAST(e.eos_doy AS BIGINT) AS eos_doy,
+       CAST(CASE WHEN e.eos_doy - s.sos_doy < 0
+                 THEN e.eos_doy - s.sos_doy + 365
+                 ELSE e.eos_doy - s.sos_doy END AS BIGINT) AS los_value
+FROM base b
+JOIN sos s USING (source, doc_id)
+JOIN eos e USING (source, doc_id)
+LEFT JOIN lios l USING (source, doc_id)
+"""
+
+_RESAMPLE_ORACLE = """
+SELECT event_type AS source, user_id AS doc_id,
+       date_trunc('{unit}', ts) AS bucket_ts,
+       round({reducer}(value), 6) AS value,
+       count(value) AS n_obs
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "zscore_outliers": _ZSCORE_ORACLE,
+        "lag_features": _LAG_FEATURES_ORACLE,
+        "time_derivative": _DERIV_ORACLE,
+        "linear_interpolate": _INTERP_ORACLE,
+        "resample_day_mean": _RESAMPLE_ORACLE.format(unit="day", reducer="avg"),
+        "resample_week_median": _RESAMPLE_ORACLE.format(
+            unit="week", reducer="median"
+        ),
+        "calendar_month_stats": """
+SELECT event_type AS source, user_id AS doc_id,
+       month(ts) AS month,
+       round(avg(value), 6) AS value,
+       count(value) AS n_obs
+FROM events
+GROUP BY 1, 2, 3
+""",
+        "phenometrics": _PHENO_ORACLE,
         "gorilla_roundtrip": """
 SELECT event_type AS source,
        CAST(user_id AS VARCHAR) AS doc_id,
