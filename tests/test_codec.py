@@ -57,6 +57,25 @@ def test_roundtrip_property(deltas, seed):
     _roundtrip(ts, vals)
 
 
+@settings(max_examples=30, deadline=None)
+@given(
+    deltas=st.lists(st.integers(min_value=-(2**40), max_value=2**40), max_size=60),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_pointwise_encoder_decodes_identically(deltas, seed):
+    """The stateful per-point reference encoder and the vectorized encoder
+    must both decode to the same points (format compatibility)."""
+    from fusets_spark.codec.gorilla import encode_block_pointwise
+
+    ts = np.cumsum(np.asarray([1700000000] + deltas, dtype=np.int64))
+    rng = np.random.default_rng(seed)
+    vals = rng.normal(scale=10.0, size=len(ts))
+    for enc in (encode_block, encode_block_pointwise):
+        t2, v2 = decode_block(enc(ts, vals))
+        assert np.array_equal(ts, t2)
+        assert np.array_equal(vals.view(np.uint64), v2.view(np.uint64))
+
+
 def test_compression_ratio_on_token_series():
     # quantized harmonic (token-like) at 1s cadence: XOR paths short
     pos = np.arange(4096)
@@ -66,6 +85,24 @@ def test_compression_ratio_on_token_series():
     blk = encode_block(1700000000 + pos, vals)
     raw = 16 * len(pos)
     assert len(blk) < raw / 3, f"ratio {raw/len(blk):.2f}x too low"
+
+
+def test_token_direct_encode_equals_explode_path(spark):
+    """The shuffle-free ingest path must produce byte-identical blocks to
+    explode_raw + generic encode_blocks."""
+    from fusets_spark.codec.blocks import encode_blocks, encode_blocks_from_tokens
+    from fusets_spark.datagen import generate_tokens
+    from fusets_spark.operators.explode import explode_raw
+
+    toks = generate_tokens(spark, 50, min_tok=32, max_tok=300)
+    a = encode_blocks_from_tokens(toks, block_seconds=60).toPandas()
+    b = encode_blocks(explode_raw(toks), block_seconds=60).toPandas()
+    key = ["source", "doc_id", "bucket_ts"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["n_points"].to_numpy() == b["n_points"].to_numpy()).all()
+    assert all(bytes(x) == bytes(y) for x, y in zip(a["block"], b["block"]))
 
 
 def test_spark_block_roundtrip(spark):

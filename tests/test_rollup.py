@@ -76,6 +76,28 @@ def test_salted_rollup_is_exact(spark, raw_points):
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_tokens_native_rollup_equals_explode_path(spark):
+    """The shuffle-free ladder must equal explode_raw + groupBy exactly."""
+    from fusets_spark.operators.rollup import (
+        rollup_ladder_from_tokens,
+        rollup_ladder_union,
+        rollup_tokens_native,
+    )
+
+    toks = generate_tokens(spark, 80, seed=7, min_tok=32, max_tok=400)
+    pts = explode_raw(toks)
+    native = rollup_ladder_from_tokens(toks).toPandas()
+    via_groupby = rollup_ladder_union(pts).toPandas()
+    key = ["tier", "source", "doc_id", "bucket_ts"]
+    a = native.sort_values(key).reset_index(drop=True)
+    b = via_groupby[native.columns].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    one = rollup_tokens_native(toks, "5m").toPandas()
+    b5 = _canon(via_groupby[via_groupby["tier"] == "5m"].drop(columns="tier"))
+    pd.testing.assert_frame_equal(_canon(one), b5, check_dtype=False)
+
+
 def test_generator_deterministic_across_partitioning(spark):
     a = generate_tokens(spark, 50, partitions=1).toPandas()
     b = generate_tokens(spark, 50, partitions=7).toPandas()
