@@ -268,8 +268,79 @@ def q_phenometrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_peakvalley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak/valley event mask (reference peakvalley.py:62-184) — sequential
+    state machine per series -> rows-only check; exact golden pairs pinned
+    in tests/test_kernels.py against the reference fixture."""
+    from fusets_spark.operators.peakvalley import peakvalley
+
+    pts = _event_points(spark, sf_dir).select(
+        "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
+    )
+    out = peakvalley(pts, drop_thr=50.0, rec_r=1.0, slope_thr=-0.5)
+    return out.select("source", "doc_id", "ts", "flag")
+
+
+def q_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCDC harmonic OLS fit (reference ccdc.py:118-154) — rows-only;
+    golden coefficients pinned in tests/test_kernels.py."""
+    from fusets_spark.operators.harmonics import harmonic_fit
+
+    pts = _event_points(spark, sf_dir).select(
+        "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
+    )
+    out = harmonic_fit(pts, num_coefficients=4)
+    return out.select(
+        "source", "doc_id", "n_obs",
+        *[F.round(f"c{i}", 4).alias(f"c{i}") for i in range(4)],
+    )
+
+
+def q_mogpr_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOGPR-recast multi-signal fusion (reference mogpr.py:139-221) with
+    fixed hyperparameters — rows-only; shape contract + determinism pinned
+    in tests/test_kernels.py. Signals = event_type per user."""
+    from fusets_spark.operators.fusion import mogpr_fuse
+
+    pts = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("source"),
+        "ts",
+        "value",
+    )
+    # daily output grid keeps the result compact at sf0.01
+    out = mogpr_fuse(pts, lengthscale=3.0, noise=0.1, prediction_period_days=1.0)
+    return out.select(
+        "doc_id", "source", "ts",
+        F.round("value_fused", 6).alias("value_fused"),
+        F.round("value_std", 6).alias("value_std"),
+    )
+
+
+def q_bandmath_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vegetation-index style column math (reference _phenolopy.py:158-162)
+    over lineitem numeric columns — native expressions, DuckDB oracle."""
+    from fusets_spark.functions.bandmath import evi, mavi, ndvi, rvi
+
+    li = _t(spark, sf_dir, "lineitem")
+    nir, red = F.col("l_extendedprice"), F.col("l_quantity")
+    blue, swir = F.col("l_discount"), F.col("l_tax")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(ndvi(nir, red), 6).alias("ndvi"),
+        F.round(evi(nir, red, blue), 6).alias("evi"),
+        F.round(mavi(nir, red, swir), 6).alias("mavi"),
+        F.round(rvi(nir, red), 6).alias("rvi"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "peakvalley": q_peakvalley,
+        "harmonic_fit": q_harmonic_fit,
+        "mogpr_fusion": q_mogpr_fusion,
+        "bandmath_indices": q_bandmath_indices,
         "zscore_outliers": q_zscore_outliers,
         "lag_features": q_lag_features,
         "time_derivative": q_time_derivative,
@@ -468,6 +539,19 @@ GROUP BY 1, 2, 3
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bandmath_indices": """
+SELECT l_orderkey, l_linenumber,
+       round((l_extendedprice - l_quantity)
+             / (l_extendedprice + l_quantity), 6) AS ndvi,
+       round(2.5 * (l_extendedprice - l_quantity)
+             / (l_extendedprice + 6 * l_quantity - 7.5 * l_discount + 1), 6)
+         AS evi,
+       round((l_extendedprice - l_quantity)
+             / (l_extendedprice + l_quantity + l_tax), 6) AS mavi,
+       round((l_quantity + l_quantity)
+             / (l_extendedprice + l_quantity), 6) AS rvi
+FROM lineitem
+""",
         "zscore_outliers": _ZSCORE_ORACLE,
         "lag_features": _LAG_FEATURES_ORACLE,
         "time_derivative": _DERIV_ORACLE,

@@ -1,0 +1,149 @@
+"""Peak/valley, harmonic-fit, and fusion kernels vs reference goldens.
+
+Goldens: reference tests/test_peakvalley.py:8-13 (exact index pairs) and
+tests/test_ccdc.py:32-34 (coefficients [5000, 5, 600, 200], atol=3).
+Fusion follows the reference's shape-level contract (tests/test_mogpr.py:
+21-37) since the reference never pins GP numerics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from fusets_spark.datagen import fusion_fixture, harmonic_fixture
+from fusets_spark.operators.fusion import mogpr_fuse, mogpr_fuse_series
+from fusets_spark.operators.harmonics import fit_harmonics_series, harmonic_fit
+from fusets_spark.operators.peakvalley import (
+    find_peaks_1d,
+    peakvalley,
+    peakvalley_series,
+)
+
+
+def test_find_peaks_matches_scipy_semantics():
+    # strict local maxima
+    y = np.asarray([0, 2, 1, 3, 1, 0, 5, 0], dtype=float)
+    assert list(find_peaks_1d(y)) == [1, 3, 6]
+    # plateau -> floored midpoint (scipy behavior)
+    y = np.asarray([0, 1, 1, 1, 0], dtype=float)
+    assert list(find_peaks_1d(y)) == [2]
+    y = np.asarray([0, 1, 1, 0], dtype=float)
+    assert list(find_peaks_1d(y)) == [1]
+    # edges are never peaks
+    y = np.asarray([5, 1, 0, 8], dtype=float)
+    assert list(find_peaks_1d(y)) == []
+
+
+def test_peakvalley_reference_golden_pairs():
+    fx = harmonic_fixture()
+    day = fx["ts"].astype("int64").to_numpy() // 10**9 / 86400.0
+    _, pairs = peakvalley_series(
+        day, fx["value"].to_numpy(), drop_thr=200, rec_r=1.0, slope_thr=0
+    )
+    want = np.asarray([[9, 35], [82, 108], [155, 181], [228, 254], [301, 327]])
+    np.testing.assert_array_equal(pairs, want)
+
+
+def test_peakvalley_spark_matches_local(spark):
+    fx = harmonic_fixture()
+    frames = []
+    for k in range(4):
+        f = fx.copy()
+        f["doc_id"] = f"d-{k}"
+        f["source"] = "s2ndvi"
+        f["value"] = f["value"] + 50.0 * k
+        frames.append(f)
+    pdf = pd.concat(frames, ignore_index=True)
+    sdf = spark.createDataFrame(pdf[["source", "doc_id", "ts", "value"]])
+    got = (
+        peakvalley(sdf, drop_thr=200, rec_r=1.0, slope_thr=0, groups_per_source=2)
+        .toPandas()
+        .sort_values(["doc_id", "ts"])
+        .reset_index(drop=True)
+    )
+    day = fx["ts"].astype("int64").to_numpy() // 10**9 / 86400.0
+    for k in range(4):
+        mask, _ = peakvalley_series(
+            day, fx["value"].to_numpy() + 50.0 * k, 200, 1.0, 0
+        )
+        g = got[got["doc_id"] == f"d-{k}"]["flag"].to_numpy()
+        np.testing.assert_array_equal(np.nan_to_num(g, nan=9), np.nan_to_num(mask, nan=9))
+
+
+def test_harmonic_fit_reference_golden():
+    fx = harmonic_fixture()
+    day = fx["ts"].astype("int64").to_numpy() // 10**9 / 86400.0
+    coef = fit_harmonics_series(day, fx["value"].to_numpy(), 4)
+    np.testing.assert_allclose(coef, [5000, 5, 600, 200], atol=3)
+
+
+def test_harmonic_fit_spark(spark):
+    fx = harmonic_fixture()
+    frames = []
+    for k in range(3):
+        f = fx.copy()
+        f["doc_id"] = f"h-{k}"
+        f["source"] = "s2ndvi"
+        f["value"] = f["value"] * (1 + 0.1 * k)
+        frames.append(f)
+    pdf = pd.concat(frames, ignore_index=True)
+    sdf = spark.createDataFrame(pdf[["source", "doc_id", "ts", "value"]])
+    got = harmonic_fit(sdf, 4, groups_per_source=2).toPandas()
+    assert len(got) == 3
+    for _, row in got.iterrows():
+        k = int(row["doc_id"].split("-")[1])
+        want = np.asarray([5000, 5, 600, 200]) * (1 + 0.1 * k)
+        np.testing.assert_allclose(
+            [row["c0"], row["c1"], row["c2"], row["c3"]], want, atol=3
+        )
+
+
+def test_fusion_reconstructs_clean_signal():
+    """Fused master signal should track the clean harmonic through gaps."""
+    rng_mask = np.random.default_rng(3)
+    d = np.arange(0, 365, 5.0)
+    clean = 0.5 + 0.3 * np.cos(2 * np.pi * d / 365.25)
+    y1 = clean.copy()
+    y1[rng_mask.random(len(d)) < 0.4] = np.nan
+    y2 = 0.4 + 0.25 * np.cos(2 * np.pi * d / 365.25 + 0.1)  # correlated signal
+    fused = mogpr_fuse_series({"a": (d, y1), "b": (d, y2)}, d)
+    mu, sd = fused["a"]
+    assert not np.isnan(mu).any()
+    rmse = float(np.sqrt(np.mean((mu - clean) ** 2)))
+    assert rmse < 0.03, rmse
+    assert (sd >= 0).all()
+    # gaps have higher predictive std than observed points on average
+    gaps = np.isnan(y1)
+    assert sd[gaps].mean() > sd[~gaps].mean()
+
+
+def test_fusion_master_gating():
+    d = np.arange(10.0)
+    out = mogpr_fuse_series(
+        {"a": (d, np.full(10, np.nan)), "b": (d, np.ones(10))}, d, master="a"
+    )
+    assert out == {}
+
+
+def test_fusion_spark_shape_contract(spark):
+    """F5 contract (reference tests/test_mogpr.py:27-37): output covers all
+    series x grid x signals, fused + std per signal, no NaNs."""
+    pdf = fusion_fixture()
+    sdf = spark.createDataFrame(pdf)
+    got = mogpr_fuse(sdf, groups=2).toPandas()
+    docs = pdf["doc_id"].nunique()
+    assert got["doc_id"].nunique() == docs
+    assert set(got["source"].unique()) == {"s2ndvi", "rvi"}
+    # per doc: grid = union of observed ts across signals
+    for doc, g in got.groupby("doc_id"):
+        obs = pdf[(pdf["doc_id"] == doc) & pdf["value"].notna()]["ts"].nunique()
+        assert g[g["source"] == "s2ndvi"]["ts"].nunique() == obs
+    assert not got["value_fused"].isna().any()
+    assert not got["value_std"].isna().any()
+    # determinism across partitionings
+    again = mogpr_fuse(sdf.repartition(7), groups=5).toPandas()
+    key = ["doc_id", "source", "ts"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = again.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
