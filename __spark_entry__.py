@@ -335,8 +335,122 @@ def q_bandmath_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-data pipeline queries (documents / embeddings) --------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fusets_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fusets_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fusets_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fusets_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_words=3, threshold=0.05
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fusets_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (rows-only: hyperplanes are numpy-side literals;
+    recall vs exact top-k asserted in tests)."""
+    from fusets_spark.operators.similarity import ann_topk_lsh
+
+    return ann_topk_lsh(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucket self-join (rows-only)."""
+    from fusets_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fusets_spark.functions.textstats import text_quality
+
+    return text_quality(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fusets_spark.functions.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fusets_spark.functions.textstats import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fusets_spark.functions.textstats import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_media_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, JVM-side metadata over a binary payload column
+    (payload = utf-8 bytes of text here; the decode stage is a stub —
+    see operators/multimodal.py)."""
+    from fusets_spark.operators.multimodal import attach_binary_payload
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    out = attach_binary_payload(docs, "payload", "image")
+    return out.select("doc_id", "media_type", "n_bytes", "sha256")
+
+
+def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode pipeline with the deterministic fake decoder (rows-only;
+    the real decoder needs media libs absent from this container)."""
+    from fusets_spark.operators.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return extract_media_features(docs, fake=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "media_binary_meta": q_media_binary_meta,
+        "multimodal_decode_stub": q_multimodal_decode_stub,
         "peakvalley": q_peakvalley,
         "harmonic_fit": q_harmonic_fit,
         "mogpr_fusion": q_mogpr_fusion,
@@ -537,8 +651,227 @@ GROUP BY 1, 2, 3
 """
 
 
+_MINHASH_ORACLE = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS words
+  FROM documents
+), sh0 AS (
+  SELECT doc_id, words,
+         unnest(range(greatest(len(words) - 2, 0))) AS i
+  FROM w
+), sh AS (
+  SELECT DISTINCT doc_id,
+         words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS shingle
+  FROM sh0
+), sig AS (
+  SELECT doc_id,
+         min(md5(shingle || ':0')) AS mh0, min(md5(shingle || ':1')) AS mh1,
+         min(md5(shingle || ':2')) AS mh2, min(md5(shingle || ':3')) AS mh3,
+         min(md5(shingle || ':4')) AS mh4, min(md5(shingle || ':5')) AS mh5,
+         min(md5(shingle || ':6')) AS mh6, min(md5(shingle || ':7')) AS mh7
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, 0 AS band_no, md5(mh0 || '|' || mh1) AS bkey FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.bkey = b.bkey AND a.band_no = b.band_no
+            AND a.doc_id < b.doc_id
+"""
+
+_SIMHASH_ORACLE = """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS word
+  FROM documents
+), h AS (
+  SELECT doc_id, substring(md5(word), 1, 16) AS hx FROM w
+), bits AS (
+  SELECT doc_id, i AS bit,
+         CASE WHEN ((strpos('0123456789abcdef',
+                            substring(hx, (i // 4) + 1, 1)) - 1)
+                    >> (3 - (i % 4))) & 1 = 1
+              THEN 1 ELSE -1 END AS v
+  FROM (SELECT doc_id, hx, unnest(range(64)) AS i FROM h) hh
+), agg AS (
+  SELECT doc_id, bit, sum(v) AS sv FROM bits GROUP BY 1, 2
+)
+SELECT doc_id,
+       string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY bit)
+         AS simhash
+FROM agg GROUP BY doc_id
+"""
+
+_JACCARD_ORACLE = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS words
+  FROM documents
+), sh0 AS (
+  SELECT doc_id, words,
+         unnest(range(greatest(len(words) - 2, 0))) AS i
+  FROM w
+), sh AS (
+  SELECT DISTINCT doc_id,
+         words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS shingle
+  FROM sh0
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+"""
+
+_COSINE_ORACLE = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id = 0
+), e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+), s AS (
+  SELECT vec_id, label,
+         list_sum(list_transform(range(1, 65), i -> ve[i] * qe[i])) AS dot,
+         sqrt(list_sum(list_transform(ve, x -> x * x))) AS nv,
+         sqrt(list_sum(list_transform(qe, x -> x * x))) AS nq
+  FROM e, q
+)
+SELECT vec_id, label, round(dot / (nv * nq), 6) AS cos,
+       CAST(row_number() OVER (ORDER BY dot / (nv * nq) DESC, vec_id)
+            AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= 20
+"""
+
+_QUALITY_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), ' +') AS words,
+         length(text) AS n_chars
+  FROM documents
+), f AS (
+  SELECT doc_id, n_chars,
+         len(words) AS n_words,
+         n_chars - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         len(list_filter(words,
+             x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS n_stop,
+         len(list_distinct(words)) AS n_uniq,
+         list_sum(list_transform(words, x -> length(x))) AS sum_wlen
+  FROM w
+)
+SELECT doc_id, n_chars, n_words,
+       round(CAST(sum_wlen AS DOUBLE) / greatest(n_words, 1), 6)
+         AS mean_word_len,
+       round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6)
+         AS punct_ratio,
+       round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 6)
+         AS stopword_ratio,
+       round(CAST(n_uniq AS DOUBLE) / greatest(n_words, 1), 6)
+         AS uniq_word_ratio,
+       round(
+         least(n_words / 50.0, 1.0) * 0.4
+         + (1 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 5,
+                      1.0)) * 0.2
+         + least(CAST(n_stop AS DOUBLE) / greatest(n_words, 1) * 10,
+                 1.0) * 0.2
+         + CAST(n_uniq AS DOUBLE) / greatest(n_words, 1) * 0.2, 6)
+         AS quality_score
+FROM f
+"""
+
+_LANGID_ORACLE = """
+WITH w AS (
+  SELECT doc_id, lang AS labeled_lang,
+         regexp_split_to_array(trim(text), ' +') AS words
+  FROM documents
+), scores AS (
+  SELECT doc_id, labeled_lang, l.lang AS predicted_lang,
+         CASE l.lang
+           WHEN 'de' THEN len(list_filter(words,
+                x -> x IN ('der', 'die', 'und', 'das', 'ist')))
+           WHEN 'en' THEN len(list_filter(words,
+                x -> x IN ('the', 'and', 'of', 'to', 'a')))
+           WHEN 'es' THEN len(list_filter(words,
+                x -> x IN ('el', 'la', 'y', 'los', 'que')))
+           WHEN 'fr' THEN len(list_filter(words,
+                x -> x IN ('le', 'la', 'et', 'les', 'des')))
+           WHEN 'zh' THEN len(list_filter(words,
+                x -> x IN ('的', '是', '了', '在', '和')))
+         END AS score
+  FROM w CROSS JOIN (
+    SELECT unnest(['de', 'en', 'es', 'fr', 'zh']) AS lang) l
+)
+SELECT doc_id, labeled_lang, predicted_lang, CAST(score AS INT) AS score
+FROM scores
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, predicted_lang) = 1
+"""
+
+_TOKEN_ORACLE = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), ' +')) AS ws_tokens,
+       len(regexp_extract_all(text,
+           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens
+FROM documents
+"""
+
+_FINGERPRINT_ORACLE = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS words
+  FROM documents
+), sh0 AS (
+  SELECT doc_id, words,
+         unnest(range(greatest(len(words) - 4, 0))) AS i
+  FROM w WHERE len(words) >= 5
+), sh AS (
+  SELECT doc_id,
+         words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' ' ||
+         words[i+4] || ' ' || words[i+5] AS shingle
+  FROM sh0
+)
+SELECT doc_id,
+       min(md5(shingle)) AS fp0,
+       min(md5('s1:' || shingle)) AS fp1,
+       min(md5('s2:' || shingle)) AS fp2,
+       count(DISTINCT shingle) AS n_shingles
+FROM sh GROUP BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_exact": """
+SELECT md5(text) AS digest,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+        "dedup_minhash_lsh": _MINHASH_ORACLE,
+        "dedup_simhash": _SIMHASH_ORACLE,
+        "dedup_ngram_jaccard": _JACCARD_ORACLE,
+        "cosine_topk": _COSINE_ORACLE,
+        "text_quality": _QUALITY_ORACLE,
+        "lang_id": _LANGID_ORACLE,
+        "token_counts": _TOKEN_ORACLE,
+        "doc_fingerprint": _FINGERPRINT_ORACLE,
+        "media_binary_meta": """
+SELECT doc_id, 'image' AS media_type,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+""",
         "bandmath_indices": """
 SELECT l_orderkey, l_linenumber,
        round((l_extendedprice - l_quantity)

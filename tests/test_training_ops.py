@@ -1,0 +1,99 @@
+"""Training-data pipeline operators: ANN recall, LSH determinism,
+multimodal stub plumbing, lang-id heuristic on crafted text."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_ann_recall_vs_exact(spark):
+    from fusets_spark.operators.similarity import ann_topk_lsh, cosine_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = set(
+        cosine_topk(emb, 0, k=10).toPandas()["vec_id"].tolist()
+    )
+    approx = set(
+        ann_topk_lsh(emb, 0, k=10, n_planes=6).toPandas()["vec_id"].tolist()
+    )
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall {recall} suspiciously low"
+    assert 0 in approx  # the query vector always lands in its own bucket
+
+
+def test_lsh_bucket_deterministic_across_partitioning(spark):
+    from fusets_spark.operators.similarity import lsh_bucket
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    a = lsh_bucket(emb).select("vec_id", "bucket").toPandas()
+    b = lsh_bucket(emb.repartition(13)).select("vec_id", "bucket").toPandas()
+    a = a.sort_values("vec_id").reset_index(drop=True)
+    b = b.sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_multimodal_stub_pipeline(spark):
+    from fusets_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_media_features,
+        frame_sample_plan,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(50)
+        .select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+    )
+    feats = extract_media_features(docs, media_type="video", fake=True)
+    pdf = feats.toPandas()
+    assert len(pdf) == 50
+    assert (pdf["n_bytes"] > 0).all()
+    assert pdf["sha256"].str.len().eq(64).all()
+    assert (pdf["width"].between(64, 255)).all()
+    assert (pdf["n_frames"] >= 1).all()
+    # JVM-side metadata agrees with the Python-side decode
+    meta = attach_binary_payload(docs, "payload", "video").toPandas()
+    m = meta.set_index("media_id")["sha256"]
+    p = pdf.set_index("media_id")["sha256"]
+    assert (m.sort_index() == p.sort_index()).all()
+    # frame sampling plan explodes every 10th frame
+    plan = frame_sample_plan(feats, every_n=10).toPandas()
+    want = int(sum(np.ceil(pdf["n_frames"] / 10)))
+    assert len(plan) == want
+
+
+def test_multimodal_real_decode_raises(spark):
+    from fusets_spark.operators.multimodal import _decode_one
+
+    with pytest.raises(NotImplementedError):
+        _decode_one(b"xxx", "image", fake=False)
+
+
+def test_lang_id_on_crafted_text(spark):
+    from fusets_spark.functions.textstats import lang_id
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "lang": ["en", "de", "fr", "es"],
+            "text": [
+                "the cat and the dog of a house to go",
+                "der hund und die katze ist das haus",
+                "le chat et la maison les arbres des fleurs",
+                "el perro y la casa los gatos que corren",
+            ],
+        }
+    )
+    got = lang_id(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    assert got.loc[1, "predicted_lang"] == "en"
+    assert got.loc[2, "predicted_lang"] == "de"
+    assert got.loc[3, "predicted_lang"] == "fr"
+    assert got.loc[4, "predicted_lang"] == "es"
