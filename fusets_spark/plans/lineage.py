@@ -1,0 +1,135 @@
+"""Lineage manifests + watermark checkpoints for exact resume (north rule).
+
+Commit protocol (per input batch, per tier):
+  1. compute tier rows — a PURE function of (input batch, config): integer
+     sums, argmin/argmax by unique keys, deterministic codecs (no
+     partition-count or batch-order dependence anywhere);
+  2. write the batch's rows under the tier's `batch=<id>` partition with
+     dynamic partition overwrite (re-running replaces exactly that
+     partition — idempotent);
+  3. write the lineage manifest (row count + order-insensitive content hash
+     + config hash) for the (tier, batch);
+  4. LAST, advance the watermark file atomically (temp + rename).
+
+Crash between any steps -> the batch is simply reprocessed on resume and
+overwrites its own partition with identical content (verified by the
+kill-and-resume test). The content hash is an order-insensitive fold
+(sum of per-row xxhash64 over canonicalized values), so it is stable under
+any shuffle order or parallelism.
+
+On a real cluster the same protocol runs against Iceberg (`replaceWhere` /
+MERGE per partition + snapshot ids in the manifest); the filesystem layout
+here mirrors that with plain parquet partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Manifest:
+    tier: str
+    batch_id: str
+    n_rows: int
+    content_hash: str
+    config_hash: str
+
+
+def content_hash(df: DataFrame) -> tuple[int, str]:
+    """(row count, order-insensitive content hash). Hash = bit_xor fold of
+    xxhash64 over every column of every row (canonicalized to strings) plus
+    a modular sum — both order-insensitive and overflow-free, identical
+    under any partitioning/parallelism. The (xor, modsum, count) triple
+    makes accidental collisions (duplicate-row cancellation in xor)
+    detectable."""
+    cols = [F.col(c).cast("string") for c in df.columns]
+    row_hash = F.xxhash64(*cols)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64({', '.join(f'cast(`{c}` as string)' for c in df.columns)}))").alias("x"),
+        F.sum(F.pmod(row_hash, F.lit(2**31))).alias("s"),
+    ).collect()[0]
+    n = int(agg["n"])
+    x = int(agg["x"] or 0) & 0xFFFFFFFFFFFFFFFF
+    s = int(agg["s"] or 0) % (2**31)
+    return n, f"{x:016x}-{s:08x}"
+
+
+class TierStore:
+    """Filesystem layout:
+    root/tiers/<tier>/batch=<id>/*.parquet     (dynamic partition overwrite)
+    root/manifests/<tier>/<batch>.json
+    root/watermarks/<tier>.json                 (atomic rename commit)
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        for d in ("tiers", "manifests", "watermarks"):
+            os.makedirs(os.path.join(root, d), exist_ok=True)
+
+    # --- paths
+    def tier_path(self, tier: str) -> str:
+        return os.path.join(self.root, "tiers", tier)
+
+    def _manifest_path(self, tier: str, batch_id: str) -> str:
+        d = os.path.join(self.root, "manifests", tier)
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{batch_id}.json")
+
+    def _wm_path(self, tier: str) -> str:
+        return os.path.join(self.root, "watermarks", f"{tier}.json")
+
+    # --- watermarks
+    def watermark(self, tier: str) -> str | None:
+        p = self._wm_path(tier)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)["batch_id"]
+
+    def commit_watermark(self, tier: str, batch_id: str) -> None:
+        p = self._wm_path(tier)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(p))
+        with os.fdopen(fd, "w") as f:
+            json.dump({"batch_id": batch_id, "tier": tier}, f)
+        os.replace(tmp, p)  # atomic on POSIX
+
+    # --- batch commit
+    def write_batch(
+        self, df: DataFrame, tier: str, batch_id: str, config_hash: str
+    ) -> Manifest:
+        """Steps 1-3 of the protocol (caller advances the watermark)."""
+        out = df.withColumn("batch", F.lit(batch_id))
+        (
+            out.write.mode("overwrite")
+            .partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.tier_path(tier))
+        )
+        n, h = content_hash(df)
+        m = Manifest(tier, batch_id, n, h, config_hash)
+        with open(self._manifest_path(tier, batch_id), "w") as f:
+            json.dump(asdict(m), f)
+        return m
+
+    def manifest(self, tier: str, batch_id: str) -> Manifest | None:
+        p = self._manifest_path(tier, batch_id)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return Manifest(**json.load(f))
+
+    def manifests(self, tier: str) -> list[Manifest]:
+        d = os.path.join(self.root, "manifests", tier)
+        out = []
+        for name in sorted(os.listdir(d)) if os.path.isdir(d) else []:
+            with open(os.path.join(d, name)) as f:
+                out.append(Manifest(**json.load(f)))
+        return out

@@ -1,0 +1,101 @@
+"""The continuous-aggregate rollup pipeline (north rule's production job).
+
+Incremental batch processing over an append-only tokenized-sequence table:
+each input batch flows through the shuffle-free ladder
+(rollup_ladder_from_tokens) and the Gorilla block encoder
+(encode_blocks_from_tokens); every tier + the block store commit per batch
+through the TierStore protocol (lineage manifest -> atomic watermark), so a
+kill at ANY point resumes to byte-identical content (tested).
+
+Deployment shape (cluster): `spark-submit --py-files fusets_spark.zip
+-m fusets_spark.plans.pipeline <input> <store>` against Iceberg; batches =
+Iceberg snapshot ranges. Here batches are parquet subdirectories.
+
+Ordering: batches are processed in sorted batch_id order; the watermark
+records the highest CONTIGUOUSLY completed batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..codec.blocks import encode_blocks_from_tokens
+from ..operators.rollup import TIERS, rollup_ladder_from_tokens
+from .lineage import TierStore
+
+STAGES = [*TIERS.keys(), "blocks"]
+
+
+def _config_hash(cfg: dict) -> str:
+    return hashlib.sha256(
+        json.dumps(cfg, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
+class RollupPipeline:
+    def __init__(
+        self,
+        store_root: str,
+        t0: str = "2024-01-01 00:00:00",
+        block_seconds: int = 3600,
+    ):
+        self.store = TierStore(store_root)
+        self.cfg = {"t0": t0, "block_seconds": block_seconds, "v": 1}
+        self.cfg_hash = _config_hash(self.cfg)
+        self.t0 = t0
+        self.block_seconds = block_seconds
+
+    def _stage_df(self, tokens: DataFrame, stage: str) -> DataFrame:
+        if stage == "blocks":
+            return encode_blocks_from_tokens(
+                tokens, t0=self.t0, block_seconds=self.block_seconds
+            )
+        ladder = rollup_ladder_from_tokens(tokens, t0=self.t0)
+        return ladder.filter(ladder["tier"] == stage).drop("tier")
+
+    def process_batch(
+        self,
+        tokens: DataFrame,
+        batch_id: str,
+        fail_after_stage: str | None = None,
+    ) -> None:
+        """Commit one input batch through every stage. `fail_after_stage`
+        simulates an executor/driver loss mid-commit (for the resume test):
+        the stage's data+manifest are written but the watermark is NOT."""
+        for stage in STAGES:
+            if self.store.watermark(stage) is not None and (
+                self.store.watermark(stage) >= batch_id
+            ):
+                continue  # already committed (resume path)
+            self.store.write_batch(
+                self._stage_df(tokens, stage), stage, batch_id, self.cfg_hash
+            )
+            if fail_after_stage == stage:
+                raise RuntimeError(f"simulated failure after {stage}/{batch_id}")
+            self.store.commit_watermark(stage, batch_id)
+
+    def run(
+        self,
+        spark: SparkSession,
+        batches: dict[str, DataFrame],
+        fail_at: tuple[str, str] | None = None,
+    ) -> None:
+        """Process pending batches in order, skipping committed ones.
+        fail_at = (batch_id, stage) simulated crash point."""
+        for batch_id in sorted(batches):
+            wm = self.store.watermark(STAGES[-1])
+            if wm is not None and wm >= batch_id:
+                # every stage's watermark moves in lockstep; last stage
+                # committed means the whole batch is committed
+                if all(
+                    (self.store.watermark(s) or "") >= batch_id for s in STAGES
+                ):
+                    continue
+            fail_stage = fail_at[1] if fail_at and fail_at[0] == batch_id else None
+            self.process_batch(batches[batch_id], batch_id, fail_stage)
+
+    def read_tier(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(self.store.tier_path(stage))

@@ -1,0 +1,6 @@
+from .loaders import (  # noqa: F401
+    load_points_csv,
+    load_sits_netcdf,
+    merge_cubes,
+    wide_to_long,
+)

@@ -1,0 +1,85 @@
+"""Streaming rollup: the streaming windowed aggregation must agree with the
+batch rollup on every window it emits (complete-mode memory sink for full
+equality; append-mode file pipeline for the production shape)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from fusets_spark.datagen import generate_tokens
+from fusets_spark.operators.explode import explode_raw
+from fusets_spark.operators.rollup import rollup_from_raw
+from fusets_spark.streaming.rollup_stream import (
+    POINTS_DDL,
+    start_file_stream_rollup,
+    stream_rollup_df,
+)
+
+
+def _points_pdf(spark, n_docs=40, seed=5):
+    toks = generate_tokens(spark, n_docs, seed=seed, min_tok=32, max_tok=200)
+    return explode_raw(toks)
+
+
+def test_streaming_equals_batch_complete_mode(spark, tmp_path):
+    pts = _points_pdf(spark)
+    src = str(tmp_path / "pts")
+    pts.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(POINTS_DDL).parquet(src)
+    )
+    q = (
+        stream_rollup_df(stream, tier_seconds=60)
+        .writeStream.format("memory")
+        .queryName("t1m_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.table("t1m_stream")
+        .select("source", "doc_id", "bucket_ts", "n_obs", "sum_val",
+                "min_val", "max_val", "avg_val")
+        .toPandas()
+    )
+    want = (
+        rollup_from_raw(spark.read.parquet(src), "1m")
+        .select("source", "doc_id", "bucket_ts", "n_obs", "sum_val",
+                "min_val", "max_val", "avg_val")
+        .toPandas()
+    )
+    key = ["source", "doc_id", "bucket_ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_file_pipeline_append_mode(spark, tmp_path):
+    pts = _points_pdf(spark, n_docs=30, seed=9)
+    src = str(tmp_path / "pts2")
+    pts.write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_file_stream_rollup(spark, src, out, ckpt, tier_seconds=60)
+    q.awaitTermination(120)
+
+    emitted = spark.read.parquet(out).toPandas()
+    batch = rollup_from_raw(spark.read.parquet(src), "1m").toPandas()
+    # append mode emits only watermark-finalized windows: a subset of batch
+    key = ["source", "doc_id", "bucket_ts"]
+    b = batch.set_index(key)
+    for _, row in emitted.iterrows():
+        k = (row["source"], row["doc_id"], row["bucket_ts"])
+        assert k in b.index
+        assert row["n_obs"] == b.loc[k, "n_obs"]
+        assert row["sum_val"] == b.loc[k, "sum_val"]
+    # restarting on the same checkpoint emits nothing new (exactly-once)
+    n_before = len(emitted)
+    q2 = start_file_stream_rollup(spark, src, out, ckpt, tier_seconds=60)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_before
