@@ -1,0 +1,63 @@
+"""Plan-quality regressions: predicate pushdown and column pruning must
+reach the parquet scans (SURVEY.md §4); UDF stages must not widen scans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "value")
+    )
+    plan = _plan(ev)
+    assert "DataFilters: [isnotnull(event_type" in plan
+    assert "props" not in plan  # column pruning
+
+
+def test_pricing_summary_pushdown(spark):
+    import importlib.util, sys
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    plan = _plan(mod.queries()["pricing_summary"](spark, SF))
+    assert "l_shipdate" in plan.split("DataFilters:")[1][:200]
+    # only the needed 6 columns are read
+    read = plan.split("ReadSchema:")[1][:400]
+    assert "l_partkey" not in read and "l_suppkey" not in read
+
+
+def test_udf_stage_does_not_widen_scan(spark):
+    """Column pruning must survive the applyInPandas optimizer barrier:
+    the whittaker query never reads `props` or `event_id`."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    plan = _plan(mod.queries()["whittaker_gapfill"](spark, SF))
+    scan = plan.split("FileScan parquet")[1][:300]
+    assert "props" not in scan and "event_id" not in scan
+
+
+def test_broadcast_join_for_small_side(spark):
+    """The cosine top-k query must broadcast its 1-row query side."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    plan = _plan(mod.queries()["cosine_topk"](spark, SF))
+    assert "Broadcast" in plan
