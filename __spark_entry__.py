@@ -436,8 +436,39 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(docs, fake=True)
 
 
+def q_savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Savitzky-Golay smoothing (reference _phenolopy.py:765-771) — scipy
+    default semantics in pure numpy, rows-only; polynomial-preservation
+    properties pinned in tests/test_smoothing.py."""
+    from fusets_spark.operators.smoothing import savgol_smooth
+
+    pts = _event_points(spark, sf_dir).select(
+        "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
+    )
+    out = savgol_smooth(pts, window=7, polyorder=2)
+    return out.select(
+        "source", "doc_id", "ts", F.round("value_smooth", 6).alias("value_smooth")
+    )
+
+
+def q_gaussian_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian smoothing (reference _phenolopy.py:773-779), reflect padding,
+    truncate=4 — rows-only; kernel properties pinned in tests."""
+    from fusets_spark.operators.smoothing import gaussian_smooth
+
+    pts = _event_points(spark, sf_dir).select(
+        "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
+    )
+    out = gaussian_smooth(pts, sigma=1.5)
+    return out.select(
+        "source", "doc_id", "ts", F.round("value_smooth", 6).alias("value_smooth")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "savgol_smooth": q_savgol_smooth,
+        "gaussian_smooth": q_gaussian_smooth,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -553,7 +584,7 @@ FROM w
 _PHENO_ORACLE = """
 WITH p AS (
   SELECT event_type AS source, user_id AS doc_id, ts, value,
-         dayofyear(ts) AS doy
+         CAST(dayofyear(ts) AS DOUBLE) AS doy
   FROM events
 ), ann AS (
   SELECT *,
@@ -572,72 +603,110 @@ WITH p AS (
   WINDOW w2 AS (PARTITION BY source, doc_id)
 ), ann3 AS (
   SELECT *,
-         vos_value + 0.5 * (pos_value - vos_value) AS target,
-         doy <= pos_doy AS is_left,
-         doy >= pos_doy AS is_right,
+         CASE WHEN doy <= pos_doy THEN value END AS ml,
+         CASE WHEN doy >= pos_doy THEN value END AS mr,
          (value + next_v) / 2 * (next_doy - doy) AS trap_term
   FROM ann2
+), annd AS (
+  SELECT *,
+    CASE WHEN lag(doy) OVER wo IS NULL THEN lead(ml) OVER wo - ml
+         WHEN lead(doy) OVER wo IS NULL THEN ml - lag(ml) OVER wo
+         ELSE lead(ml) OVER wo - lag(ml) OVER wo END AS num_l,
+    CASE WHEN lag(doy) OVER wo IS NULL THEN lead(mr) OVER wo - mr
+         WHEN lead(doy) OVER wo IS NULL THEN mr - lag(mr) OVER wo
+         ELSE lead(mr) OVER wo - lag(mr) OVER wo END AS num_r,
+    CASE WHEN lag(doy) OVER wo IS NULL THEN lead(doy) OVER wo - doy
+         WHEN lead(doy) OVER wo IS NULL THEN doy - lag(doy) OVER wo
+         ELSE lead(doy) OVER wo - lag(doy) OVER wo END AS den
+  FROM ann3
+  WINDOW wo AS (PARTITION BY source, doc_id ORDER BY ts)
+), ann4 AS (
+  SELECT *,
+    CASE WHEN den <> 0 THEN num_l / den
+         WHEN num_l > 0 THEN 'infinity'::DOUBLE
+         WHEN num_l < 0 THEN '-infinity'::DOUBLE END AS grad_l,
+    CASE WHEN den <> 0 THEN num_r / den
+         WHEN num_r > 0 THEN 'infinity'::DOUBLE
+         WHEN num_r < 0 THEN '-infinity'::DOUBLE END AS grad_r
+  FROM annd
+), ann5 AS (
+  SELECT *,
+         ml IS NOT NULL AND grad_l > 0 AS cand_l,
+         mr IS NOT NULL AND grad_r < 0 AS cand_r
+  FROM ann4
 ), base AS (
   SELECT source, doc_id,
-         any_value(pos_value) AS pos_value, any_value(pos_doy) AS pos_doy,
-         any_value(vos_value) AS vos_value, any_value(vos_doy) AS vos_doy,
-         any_value(pos_value) - any_value(vos_value) AS aos_value,
-         (min(CASE WHEN is_left THEN value END)
-          + min(CASE WHEN is_right THEN value END)) / 2 AS bse_value,
-         (avg(CASE WHEN is_left AND value >= 0.8 * pos_value
-                   THEN value END)
-          + avg(CASE WHEN is_right AND value >= 0.8 * pos_value
-                     THEN value END)) / 2 AS mos_value,
-         sum(trap_term) AS liot_value
-  FROM ann3 GROUP BY source, doc_id
+         any_value(pos_value) AS pos_value,
+         CAST(any_value(pos_doy) AS BIGINT) AS pos_doy,
+         any_value(vos_value) AS vos_value,
+         CAST(any_value(vos_doy) AS BIGINT) AS vos_doy,
+         (min(ml) + min(mr)) / 2 AS bse_value,
+         any_value(pos_value) - (min(ml) + min(mr)) / 2 AS aos_value,
+         (avg(CASE WHEN ml >= 0.8 * pos_value THEN ml END)
+          + avg(CASE WHEN mr >= 0.8 * pos_value THEN mr END)) / 2
+           AS mos_value,
+         sum(trap_term) AS liot_value,
+         max(CASE WHEN cand_l THEN 1 ELSE 0 END) AS has_l,
+         max(CASE WHEN cand_r THEN 1 ELSE 0 END) AS has_r
+  FROM ann5 GROUP BY source, doc_id
+), tgt AS (
+  SELECT source, doc_id,
+         bse_value + 0.5 * aos_value AS t_l,
+         bse_value + 0.5 * aos_value AS t_r
+  FROM base
 ), sos AS (
-  SELECT source, doc_id, value AS sos_value, doy AS sos_doy
-  FROM ann3
-  QUALIFY row_number() OVER (PARTITION BY source, doc_id
-    ORDER BY CASE WHEN is_left THEN abs(value - target)
+  SELECT a.source, a.doc_id, a.value AS sos_value,
+         CAST(a.doy AS BIGINT) AS sos_doy
+  FROM ann5 a JOIN tgt USING (source, doc_id)
+  QUALIFY row_number() OVER (PARTITION BY a.source, a.doc_id
+    ORDER BY CASE WHEN a.cand_l THEN abs(a.value - tgt.t_l)
                   ELSE 'infinity'::DOUBLE END,
-             doy, epoch_us(ts)) = 1
+             a.doy, epoch_us(a.ts)) = 1
 ), eos AS (
-  SELECT source, doc_id, value AS eos_value, doy AS eos_doy
-  FROM ann3
-  QUALIFY row_number() OVER (PARTITION BY source, doc_id
-    ORDER BY CASE WHEN is_right THEN abs(value - target)
+  SELECT a.source, a.doc_id, a.value AS eos_value,
+         CAST(a.doy AS BIGINT) AS eos_doy
+  FROM ann5 a JOIN tgt USING (source, doc_id)
+  QUALIFY row_number() OVER (PARTITION BY a.source, a.doc_id
+    ORDER BY CASE WHEN a.cand_r THEN abs(a.value - tgt.t_r)
                   ELSE 'infinity'::DOUBLE END,
-             doy, epoch_us(ts)) = 1
+             a.doy, epoch_us(a.ts)) = 1
+), fin AS (
+  SELECT b.source, b.doc_id, b.pos_value, b.pos_doy, b.vos_value, b.vos_doy,
+         b.bse_value, b.aos_value, b.mos_value, b.liot_value,
+         CASE WHEN b.has_l = 1 THEN s.sos_value END AS sos_value,
+         CASE WHEN b.has_l = 1 THEN s.sos_doy END AS sos_doy,
+         CASE WHEN b.has_r = 1 THEN e.eos_value END AS eos_value,
+         CASE WHEN b.has_r = 1 THEN e.eos_doy END AS eos_doy
+  FROM base b
+  JOIN sos s USING (source, doc_id)
+  JOIN eos e USING (source, doc_id)
 ), lios AS (
   SELECT a.source, a.doc_id, sum(a.trap_term) AS lios_value
-  FROM ann3 a
-  JOIN sos USING (source, doc_id)
-  JOIN eos USING (source, doc_id)
-  WHERE a.doy >= sos.sos_doy AND a.next_doy <= eos.eos_doy
+  FROM ann5 a JOIN fin USING (source, doc_id)
+  WHERE a.doy >= fin.sos_doy AND a.next_doy <= fin.eos_doy
   GROUP BY a.source, a.doc_id
 )
-SELECT b.source, b.doc_id,
-       round(b.pos_value, 6) AS pos_value,
-       round(b.vos_value, 6) AS vos_value,
-       round(b.aos_value, 6) AS aos_value,
-       round(b.bse_value, 6) AS bse_value,
-       round(b.mos_value, 6) AS mos_value,
-       round(s.sos_value, 6) AS sos_value,
-       round(e.eos_value, 6) AS eos_value,
-       round(CASE WHEN b.pos_doy <> s.sos_doy
-                  THEN (b.pos_value - s.sos_value) / (b.pos_doy - s.sos_doy)
+SELECT f.source, f.doc_id,
+       round(f.pos_value, 6) AS pos_value,
+       round(f.vos_value, 6) AS vos_value,
+       round(f.aos_value, 6) AS aos_value,
+       round(f.bse_value, 6) AS bse_value,
+       round(f.mos_value, 6) AS mos_value,
+       round(f.sos_value, 6) AS sos_value,
+       round(f.eos_value, 6) AS eos_value,
+       round(CASE WHEN f.pos_doy <> f.sos_doy
+                  THEN (f.pos_value - f.sos_value) / (f.pos_doy - f.sos_doy)
              END, 6) AS roi_value,
-       round(CASE WHEN e.eos_doy <> b.pos_doy
-                  THEN (e.eos_value - b.pos_value) / (e.eos_doy - b.pos_doy)
+       round(CASE WHEN f.eos_doy <> f.pos_doy
+                  THEN (f.eos_value - f.pos_value) / (f.eos_doy - f.pos_doy)
              END, 6) AS rod_value,
        round(l.lios_value, 6) AS lios_value,
-       round(b.liot_value, 6) AS liot_value,
-       CAST(b.pos_doy AS BIGINT) AS pos_doy,
-       CAST(b.vos_doy AS BIGINT) AS vos_doy,
-       CAST(s.sos_doy AS BIGINT) AS sos_doy,
-       CAST(e.eos_doy AS BIGINT) AS eos_doy,
-       CAST(CASE WHEN e.eos_doy - s.sos_doy < 0
-                 THEN e.eos_doy - s.sos_doy + 365
-                 ELSE e.eos_doy - s.sos_doy END AS BIGINT) AS los_value
-FROM base b
-JOIN sos s USING (source, doc_id)
-JOIN eos e USING (source, doc_id)
+       round(f.liot_value, 6) AS liot_value,
+       f.pos_doy, f.vos_doy, f.sos_doy, f.eos_doy,
+       CAST(CASE WHEN f.eos_doy - f.sos_doy < 0
+                 THEN f.eos_doy - f.sos_doy + 365
+                 ELSE f.eos_doy - f.sos_doy END AS BIGINT) AS los_value
+FROM fin f
 LEFT JOIN lios l USING (source, doc_id)
 """
 

@@ -1,53 +1,103 @@
 """Phenometrics — the reference's `calc_phenometrics` (reference
 _phenolopy.py:2317-2537) as ONE declarative Spark plan (no UDF).
 
-Per series (one growing season per series, like the reference's per-pixel
-cubes): POS/VOS (peak/valley value + day-of-year), AOS (amplitude), BSE
-(mean of the two slope minima), MOS (mean of top-80% values on each slope),
-SOS/EOS via the `seasonal_amplitude` method (value on the left/right slope
-closest to base + factor*amplitude; reference _phenolopy.py:1268-1593), LOS
-(season length, wrap-corrected), ROI/ROD (rates), LIOT (trapezoidal integral
-of the full series, np.trapz semantics with day spacing;
-_phenolopy.py:2217-2314) and LIOS (in-season integral, _phenolopy.py:2081-).
+Per series (one season per series, like the reference's per-pixel cubes):
 
-Tie-breaking matches numpy argmax/argmin: FIRST occurrence
-(_phenolopy.py:1055) — implemented with lexicographic struct max/min over
-(value, -doy) / (value, doy).
+  POS/VOS   peak/valley value + day-of-year, numpy-argmax first-occurrence
+            ties (_phenolopy.py:1024-1172)
+  BSE       mean of the two slope minima (_phenolopy.py:1175-1223)
+  MOS       mean of values ≥ 0.8·max on each slope (_phenolopy.py:1072-1124)
+  AOS       pos − base (base_metric 'bse' default, as phenology();
+            _phenolopy.py:1226-1265)
+  SOS/EOS   5 of the reference's 6 TIMESAT methods (_phenolopy.py:1268-1593
+            and 1596-1921) — stl_trend omitted (needs statsmodels):
+            candidates are the POSITIVE-gradient subset of the left slope
+            (negative for EOS right slope), where the gradient is the
+            central difference over the slope-masked series (xarray
+            `differentiate`, NaN-propagating at mask boundaries, one-sided
+            at series edges);
+              first_of_slope    argmin of signed (v − median) == min v
+              median_of_slope   argmin |v − median(candidates)|
+              seasonal_amplitude argmin |v − (base + factor·aos)|
+                                (one_sided: base = min of the masked slope)
+              absolute_value    argmin |v − abs_value|
+              relative_value    argmin |v − (q10 + factor·(q90 − q10))|
+                                (exact interpolated quantiles of the full
+                                series, _phenolopy.py:1482-1485)
+  LOS       eos_doy − sos_doy, +365 wrap (_phenolopy.py:1924-1978)
+  ROI/ROD   rates of increase/decrease (_phenolopy.py:1981-2078)
+  LIOS/LIOT trapezoidal integrals, day spacing (_phenolopy.py:2081-2314)
 
-Plan shape: window-annotate peak/valley per series (one shuffle on the series
-key), aggregate slope-side metrics (reuses the same partitioning), then a
-series-key join for in-season integral terms. Catalyst fuses the shared
-subexpressions the reference recomputes per metric (SURVEY.md §3.4).
+Plan: window-annotate (one shuffle on the series key) -> scalar aggregate ->
+join scalars back for the method target -> argmin aggregate -> in-season
+integral. Ties everywhere break (dist, doy, ts) with ts unique per series.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import epoch_us
 
 SERIES_KEYS = ["source", "doc_id"]
 
+METHODS = (
+    "first_of_slope",
+    "median_of_slope",
+    "seasonal_amplitude",
+    "absolute_value",
+    "relative_value",
+)
+
+
+_INF = float("inf")
+
+
+def _safe_div(num: Column, den: Column) -> Column:
+    """num/den with numpy float semantics for den==0: ±inf, NULL for 0/0
+    (ANSI Spark would error; NULL excludes the row like NaN does)."""
+    return (
+        F.when(den != 0, num / den)
+        .when(num > 0, F.lit(_INF))
+        .when(num < 0, F.lit(-_INF))
+    )
+
+
+def _gradient(masked: Column, doy: Column, wo: Window) -> Column:
+    """Central-difference gradient of the masked series over doy, one-sided
+    at series edges, NULL-propagating at mask boundaries (xarray
+    differentiate semantics)."""
+    mp, mn = F.lag(masked).over(wo), F.lead(masked).over(wo)
+    dp, dn = F.lag(doy).over(wo), F.lead(doy).over(wo)
+    return (
+        F.when(dp.isNull(), _safe_div(mn - masked, dn - doy))
+        .when(dn.isNull(), _safe_div(masked - mp, doy - dp))
+        .otherwise(_safe_div(mn - mp, dn - dp))
+    )
+
 
 def phenometrics(
     df: DataFrame,
+    method: str = "seasonal_amplitude",
     factor: float = 0.5,
+    thresh_sides: str = "two_sided",
+    abs_value: float = 0.0,
     value_col: str = "value",
 ) -> DataFrame:
-    """Per-series phenology metrics. Input: (source, doc_id, ts, value).
-
-    Returns one row per series:
-      pos_value pos_doy vos_value vos_doy aos_value bse_value mos_value
-      sos_value sos_doy eos_value eos_doy los_value roi_value rod_value
-      lios_value liot_value
+    """One row per series:
+    pos_value pos_doy vos_value vos_doy bse_value mos_value aos_value
+    sos_value sos_doy eos_value eos_doy los_value roi_value rod_value
+    lios_value liot_value
     """
+    assert method in METHODS, method
+    assert thresh_sides in ("one_sided", "two_sided")
     v = F.col(value_col)
     doy = F.dayofyear("ts")
     w = Window.partitionBy(*SERIES_KEYS)
     wo = Window.partitionBy(*SERIES_KEYS).orderBy("ts")
 
-    # --- stage 1: per-row annotations (single shuffle on series key)
+    # --- stage 1: per-row annotations
     pos = F.max(F.struct(v.alias("v"), (-doy).alias("nd"))).over(w)
     vos = F.min(F.struct(v.alias("v"), doy.alias("d"))).over(w)
     ann = (
@@ -57,62 +107,81 @@ def phenometrics(
         .withColumn("vos_value", vos["v"])
         .withColumn("vos_doy", vos["d"])
         .withColumn("next_v", F.lead(v).over(wo))
-        .withColumn("next_doy", F.lead(doy).over(wo))
+        .withColumn("next_doy", F.lead(F.dayofyear("ts")).over(wo))
     )
-    amp = F.col("pos_value") - F.col("vos_value")
-    target = F.col("vos_value") + F.lit(factor) * amp
-    left = F.col("doy") <= F.col("pos_doy")
-    right = F.col("doy") >= F.col("pos_doy")
-    trap = (v + F.col("next_v")) / 2 * (F.col("next_doy") - F.col("doy"))
+    ml = F.when(F.col("doy") <= F.col("pos_doy"), v)  # left-slope mask
+    mr = F.when(F.col("doy") >= F.col("pos_doy"), v)  # right-slope mask
+    dcol = F.col("doy").cast("double")
     ann = (
-        ann.withColumn("target", target)
-        .withColumn("is_left", left)
-        .withColumn("is_right", right)
-        .withColumn("trap_term", trap)
+        ann.withColumn("ml", ml)
+        .withColumn("mr", mr)
+        .withColumn("grad_l", _gradient(F.col("ml"), dcol, wo))
+        .withColumn("grad_r", _gradient(F.col("mr"), dcol, wo))
+        .withColumn(
+            "cand_l", F.col("ml").isNotNull() & (F.col("grad_l") > 0)
+        )
+        .withColumn(
+            "cand_r", F.col("mr").isNotNull() & (F.col("grad_r") < 0)
+        )
+        .withColumn(
+            "trap_term",
+            (v + F.col("next_v")) / 2 * (F.col("next_doy") - F.col("doy")),
+        )
     )
 
-    # --- stage 2: slope-side aggregation
-    vv = F.col(value_col)
-
-    agg = ann.groupBy(*SERIES_KEYS).agg(
+    # --- stage 2: per-series scalars
+    scalars = ann.groupBy(*SERIES_KEYS).agg(
         F.first("pos_value").alias("pos_value"),
         F.first("pos_doy").alias("pos_doy"),
         F.first("vos_value").alias("vos_value"),
         F.first("vos_doy").alias("vos_doy"),
-        (F.first("pos_value") - F.first("vos_value")).alias("aos_value"),
+        F.min("ml").alias("_min_l"),
+        F.min("mr").alias("_min_r"),
         (
             (
-                F.min(F.when(F.col("is_left"), vv))
-                + F.min(F.when(F.col("is_right"), vv))
-            )
-            / 2
-        ).alias("bse_value"),
-        (
-            (
-                F.avg(
-                    F.when(
-                        F.col("is_left") & (vv >= 0.8 * F.col("pos_value")), vv
-                    )
-                )
-                + F.avg(
-                    F.when(
-                        F.col("is_right") & (vv >= 0.8 * F.col("pos_value")), vv
-                    )
-                )
+                F.avg(F.when(F.col("ml") >= 0.8 * F.col("pos_value"), F.col("ml")))
+                + F.avg(F.when(F.col("mr") >= 0.8 * F.col("pos_value"), F.col("mr")))
             )
             / 2
         ).alias("mos_value"),
+        F.median(F.when(F.col("cand_l"), v)).alias("_med_l"),
+        F.median(F.when(F.col("cand_r"), v)).alias("_med_r"),
+        F.percentile(v, F.lit(0.10)).alias("_q10"),
+        F.percentile(v, F.lit(0.90)).alias("_q90"),
         F.sum("trap_term").alias("liot_value"),
     )
-    # SOS/EOS: argmin |v - target| on each slope, first-occurrence tie-break
-    # (min_by over a (dist, doy) struct; off-slope rows get dist = inf)
-    # tie-break: (dist, doy, ts) — ts is unique per series, so the argmin is
-    # fully deterministic even when two same-day values straddle the target
-    def _argmin_on(side: str) -> F.Column:
+    scalars = scalars.withColumn(
+        "bse_value", (F.col("_min_l") + F.col("_min_r")) / 2
+    ).withColumn("aos_value", F.col("pos_value") - F.col("bse_value"))
+
+    # --- stage 3: method target + argmin over candidates
+    if method == "seasonal_amplitude":
+        base = F.col("_min_l") if thresh_sides == "one_sided" else F.col("bse_value")
+        base_r = F.col("_min_r") if thresh_sides == "one_sided" else F.col("bse_value")
+        t_l = base + F.lit(factor) * F.col("aos_value")
+        t_r = base_r + F.lit(factor) * F.col("aos_value")
+    elif method == "relative_value":
+        t_l = t_r = F.col("_q10") + F.lit(factor) * (F.col("_q90") - F.col("_q10"))
+    elif method == "absolute_value":
+        t_l = t_r = F.lit(float(abs_value))
+    else:  # first/median_of_slope: per-side medians (unused for first)
+        t_l, t_r = F.col("_med_l"), F.col("_med_r")
+
+    targets = scalars.select(
+        *SERIES_KEYS, t_l.alias("_t_l"), t_r.alias("_t_r")
+    )
+    cand = ann.join(targets, SERIES_KEYS)
+    if method == "first_of_slope":
+        dist_l, dist_r = v, v  # signed (v - median) argmin == argmin v
+    else:
+        dist_l = F.abs(v - F.col("_t_l"))
+        dist_r = F.abs(v - F.col("_t_r"))
+
+    def _argmin(side: str, dist: Column) -> Column:
         return F.min_by(
-            F.struct(vv.alias("v"), F.col("doy").alias("d")),
+            F.struct(v.alias("v"), F.col("doy").alias("d")),
             F.struct(
-                F.when(F.col(side), F.abs(vv - F.col("target")))
+                F.when(F.col(side), dist)
                 .otherwise(F.lit(float("inf")))
                 .alias("dist"),
                 F.col("doy").alias("t"),
@@ -120,39 +189,43 @@ def phenometrics(
             ),
         )
 
-    agg2 = ann.groupBy(*SERIES_KEYS).agg(
-        _argmin_on("is_left").alias("_sosr"),
-        _argmin_on("is_right").alias("_eosr"),
+    ends = cand.groupBy(*SERIES_KEYS).agg(
+        _argmin("cand_l", dist_l).alias("_sosr"),
+        _argmin("cand_r", dist_r).alias("_eosr"),
+        F.max(F.col("cand_l").cast("int")).alias("_has_l"),
+        F.max(F.col("cand_r").cast("int")).alias("_has_r"),
     )
-    m = agg.join(agg2, SERIES_KEYS)
+    m = scalars.join(ends, SERIES_KEYS)
     m = (
-        m.withColumn("sos_value", F.col("_sosr.v"))
-        .withColumn("sos_doy", F.col("_sosr.d"))
-        .withColumn("eos_value", F.col("_eosr.v"))
-        .withColumn("eos_doy", F.col("_eosr.d"))
-        .drop("_sosr", "_eosr")
+        m.withColumn("sos_value", F.when(F.col("_has_l") == 1, F.col("_sosr.v")))
+        .withColumn("sos_doy", F.when(F.col("_has_l") == 1, F.col("_sosr.d")))
+        .withColumn("eos_value", F.when(F.col("_has_r") == 1, F.col("_eosr.v")))
+        .withColumn("eos_doy", F.when(F.col("_has_r") == 1, F.col("_eosr.d")))
+        .drop("_sosr", "_eosr", "_has_l", "_has_r", "_min_l", "_min_r",
+              "_med_l", "_med_r", "_q10", "_q90")
     )
     los = F.col("eos_doy") - F.col("sos_doy")
-    m = m.withColumn(
-        "los_value", F.when(los < 0, los + 365).otherwise(los)
-    )
-    m = m.withColumn(
-        "roi_value",
-        F.when(
-            F.col("pos_doy") != F.col("sos_doy"),
-            (F.col("pos_value") - F.col("sos_value"))
-            / (F.col("pos_doy") - F.col("sos_doy")),
-        ),
-    ).withColumn(
-        "rod_value",
-        F.when(
-            F.col("eos_doy") != F.col("pos_doy"),
-            (F.col("eos_value") - F.col("pos_value"))
-            / (F.col("eos_doy") - F.col("pos_doy")),
-        ),
+    m = (
+        m.withColumn("los_value", F.when(los < 0, los + 365).otherwise(los))
+        .withColumn(
+            "roi_value",
+            F.when(
+                F.col("pos_doy") != F.col("sos_doy"),
+                (F.col("pos_value") - F.col("sos_value"))
+                / (F.col("pos_doy") - F.col("sos_doy")),
+            ),
+        )
+        .withColumn(
+            "rod_value",
+            F.when(
+                F.col("eos_doy") != F.col("pos_doy"),
+                (F.col("eos_value") - F.col("pos_value"))
+                / (F.col("eos_doy") - F.col("pos_doy")),
+            ),
+        )
     )
 
-    # --- stage 3: in-season integral (needs sos/eos bounds per row)
+    # --- stage 4: in-season integral between sos and eos
     season = ann.join(
         m.select(*SERIES_KEYS, "sos_doy", "eos_doy"), SERIES_KEYS
     ).filter(

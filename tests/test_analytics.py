@@ -125,27 +125,47 @@ def test_resample_mean_median(spark):
     assert np.allclose(got["value"].to_numpy(), want.to_numpy())
 
 
+def _masked_gradient(mv: np.ndarray, doy: np.ndarray) -> np.ndarray:
+    """Central differences over the masked series, one-sided at the array
+    edges, NaN-propagating (xarray differentiate on a slope-masked array)."""
+    n = len(mv)
+    g = np.full(n, np.nan)
+    if n >= 2:
+        g[0] = (mv[1] - mv[0]) / (doy[1] - doy[0])
+        g[-1] = (mv[-1] - mv[-2]) / (doy[-1] - doy[-2])
+    if n >= 3:
+        g[1:-1] = (mv[2:] - mv[:-2]) / (doy[2:] - doy[:-2])
+    return g
+
+
 def _pheno_oracle(pdf: pd.DataFrame, factor=0.5) -> dict:
+    """Reference semantics (_phenolopy.py get_sos/get_eos,
+    seasonal_amplitude two_sided, base_metric=bse)."""
     v = pdf["value"].to_numpy()
-    doy = pdf["ts"].dt.dayofyear.to_numpy()
+    doy = pdf["ts"].dt.dayofyear.to_numpy().astype(float)
     i_pos = int(np.argmax(v))
     i_vos = int(np.argmin(v))
     pos_v, pos_d = v[i_pos], int(doy[i_pos])
     vos_v, vos_d = v[i_vos], int(doy[i_vos])
-    aos = pos_v - vos_v
-    left = doy <= pos_d
-    right = doy >= pos_d
-    bse = (v[left].min() + v[right].min()) / 2
+    ml = np.where(doy <= pos_d, v, np.nan)
+    mr = np.where(doy >= pos_d, v, np.nan)
+    bse = (np.nanmin(ml) + np.nanmin(mr)) / 2
+    aos = pos_v - bse
     mos = (
-        v[left & (v >= 0.8 * pos_v)].mean() + v[right & (v >= 0.8 * pos_v)].mean()
+        np.nanmean(np.where(ml >= 0.8 * pos_v, ml, np.nan))
+        + np.nanmean(np.where(mr >= 0.8 * pos_v, mr, np.nan))
     ) / 2
-    target = vos_v + factor * aos
+    cand_l = ~np.isnan(ml) & (_masked_gradient(ml, doy) > 0)
+    cand_r = ~np.isnan(mr) & (_masked_gradient(mr, doy) < 0)
+    target = bse + factor * aos
+
     def argmin_first(mask):
         d = np.where(mask, np.abs(v - target), np.inf)
         order = np.lexsort((doy, d))
         return order[0]
-    i_sos = argmin_first(left)
-    i_eos = argmin_first(right)
+
+    i_sos = argmin_first(cand_l)
+    i_eos = argmin_first(cand_r)
     liot = float(np.sum((v[:-1] + v[1:]) / 2 * np.diff(doy)))
     return dict(
         pos_value=pos_v, pos_doy=pos_d, vos_value=vos_v, vos_doy=vos_d,
