@@ -465,8 +465,36 @@ def q_gaussian_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_num_seasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Season count via height/distance peak selection (reference
+    _phenolopy.py:804-880) — rows-only; goldens in tests."""
+    from fusets_spark.operators.peakvalley import num_seasons
+
+    pts = _event_points(spark, sf_dir).select(
+        "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
+    )
+    return num_seasons(pts)
+
+
+def q_remove_outliers_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-method outlier removal (reference _phenolopy.py:176-315):
+    rolling-median distance > std*factor + neighbor check. win_size=5
+    fixed (the reference derives one window per dataset; SQL window frames
+    must be constant)."""
+    from fusets_spark.operators.outlier_removal import remove_outliers
+
+    pts = _event_points(spark, sf_dir)
+    out = remove_outliers(pts, method="median", user_factor=2.0, win_size=5)
+    return out.select(
+        "source", "doc_id", "ts",
+        F.round("value_clean", 6).alias("value_clean"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "num_seasons": q_num_seasons,
+        "remove_outliers_median": q_remove_outliers_median,
         "savgol_smooth": q_savgol_smooth,
         "gaussian_smooth": q_gaussian_smooth,
         "dedup_exact": q_dedup_exact,
@@ -919,8 +947,35 @@ FROM sh GROUP BY doc_id
 """
 
 
+_OUTLIER_REMOVAL_ORACLE = """
+WITH p AS (
+  SELECT event_type AS source, user_id AS doc_id, ts, value FROM events
+), ann AS (
+  SELECT *,
+         stddev_pop(value) OVER w * 2.0 AS cutoff,
+         CASE WHEN count(value) OVER wr = 5
+              THEN quantile_cont(value, 0.5) OVER wr
+              ELSE value END AS center,
+         lag(value) OVER wo AS prev_v,
+         lead(value) OVER wo AS next_v
+  FROM p
+  WINDOW w AS (PARTITION BY source, doc_id),
+         wo AS (PARTITION BY source, doc_id ORDER BY ts),
+         wr AS (PARTITION BY source, doc_id ORDER BY ts
+                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+)
+SELECT source, doc_id, ts,
+       round(CASE WHEN abs(value - center) > cutoff
+                   AND (value < ((prev_v + next_v) / 2 - cutoff)
+                        OR value > (greatest(prev_v, next_v) + cutoff))
+                  THEN NULL ELSE value END, 6) AS value_clean
+FROM ann
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "remove_outliers_median": _OUTLIER_REMOVAL_ORACLE,
         "dedup_exact": """
 SELECT md5(text) AS digest,
        min(doc_id) AS keep_doc_id,

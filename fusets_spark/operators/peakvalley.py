@@ -39,6 +39,62 @@ def find_peaks_1d(y: np.ndarray) -> np.ndarray:
     return (left + right) // 2
 
 
+def select_by_distance(
+    peaks: np.ndarray, heights: np.ndarray, distance: int
+) -> np.ndarray:
+    """scipy find_peaks distance filter: process peaks by descending height
+    (ties: later index first, matching scipy's reversed stable argsort) and
+    suppress any unkept peak strictly closer than `distance`."""
+    keep = np.ones(len(peaks), dtype=bool)
+    priority = np.argsort(heights, kind="stable")[::-1]
+    for j in priority:
+        if not keep[j]:
+            continue
+        k = j - 1
+        while k >= 0 and peaks[j] - peaks[k] < distance:
+            keep[k] = False
+            k -= 1
+        k = j + 1
+        while k < len(peaks) and peaks[k] - peaks[j] < distance:
+            keep[k] = False
+            k += 1
+    return peaks[keep]
+
+
+def num_seasons_series(y: np.ndarray) -> int:
+    """Reference calc_num_seasons (_phenolopy.py:804-880): count peaks with
+    height ≥ the 75th nanquantile and spacing ≥ ceil(n/4)."""
+    if len(y) == 0 or np.all(np.isnan(y)):
+        return 0
+    height = np.nanquantile(y, 0.75)
+    distance = int(np.ceil(len(y) / 4))
+    pk = find_peaks_1d(np.nan_to_num(y, nan=-np.inf))
+    pk = pk[y[pk] >= height]
+    if len(pk) == 0:
+        return 0
+    return len(select_by_distance(pk, y[pk], distance))
+
+
+def num_seasons(df: DataFrame, groups_per_source: int = 64) -> DataFrame:
+    """Per-series season count over (source, doc_id, ts, value)."""
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "ts"], kind="mergesort")
+        rows = [
+            (g["source"].iloc[0], doc,
+             num_seasons_series(g["value"].to_numpy(np.float64)))
+            for doc, g in pdf.groupby("doc_id", sort=False)
+        ]
+        return pd.DataFrame(rows, columns=["source", "doc_id", "num_seasons"])
+
+    grouped = df.withColumn(
+        "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
+    )
+    return grouped.groupBy("source", "_g").applyInPandas(
+        _run, schema="source string, doc_id string, num_seasons int"
+    )
+
+
 def peakvalley_series(
     day: np.ndarray,
     y: np.ndarray,
