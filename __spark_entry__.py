@@ -491,8 +491,28 @@ def q_remove_outliers_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_cubes_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-sensor cube merge (reference openeo/__init__.py:131,
+    tests/test_cube_construction.py:4-19): two band frames full-outer-joined
+    on (series, ts) — union of time grids, NULL where a band lacks data."""
+    from fusets_spark.sources import merge_cubes
+
+    pts = _event_points(spark, sf_dir).select(
+        "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
+    )
+    click = pts.filter(F.col("source") == "click")
+    view = pts.filter(F.col("source") == "view")
+    wide = merge_cubes(click, view, how="outer")
+    return wide.select(
+        "doc_id", "ts",
+        F.round("click", 6).alias("click"),
+        F.round("view", 6).alias("view"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "merge_cubes_outer": q_merge_cubes_outer,
         "num_seasons": q_num_seasons,
         "remove_outliers_median": q_remove_outliers_median,
         "savgol_smooth": q_savgol_smooth,
@@ -975,6 +995,19 @@ FROM ann
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "merge_cubes_outer": """
+WITH c AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, ts, round(value, 6) AS click
+  FROM events WHERE event_type = 'click'
+), v AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, ts, round(value, 6) AS view
+  FROM events WHERE event_type = 'view'
+)
+SELECT coalesce(c.doc_id, v.doc_id) AS doc_id,
+       coalesce(c.ts, v.ts) AS ts,
+       c.click, v.view
+FROM c FULL OUTER JOIN v ON c.doc_id = v.doc_id AND c.ts = v.ts
+""",
         "remove_outliers_median": _OUTLIER_REMOVAL_ORACLE,
         "dedup_exact": """
 SELECT md5(text) AS digest,

@@ -99,6 +99,83 @@ def mogpr_fuse_series(
     return out
 
 
+def _log_marginal_likelihood(
+    signals: dict[str, tuple[np.ndarray, np.ndarray]],
+    lengthscale: float,
+    noise: float,
+    rho: float,
+) -> float:
+    """GP log marginal likelihood of one series' joint observations under
+    the fixed-hyperparameter kernel (normalized per signal)."""
+    names = sorted(signals)
+    ts, ys, ss = [], [], []
+    for i, name in enumerate(names):
+        t, y = signals[name]
+        ok = ~np.isnan(y)
+        if ok.sum() == 0:
+            continue
+        yy = y[ok]
+        sd = float(np.std(yy)) or 1.0
+        ts.append(t[ok])
+        ys.append((yy - np.mean(yy)) / sd)
+        ss.append(np.full(ok.sum(), i))
+    if not ts:
+        return -np.inf
+    T, Y, S = np.concatenate(ts), np.concatenate(ys), np.concatenate(ss)
+    n_sig = len(names)
+    B = (1.0 - rho) * np.eye(n_sig) + rho * np.ones((n_sig, n_sig))
+    K = B[S[:, None], S[None, :]] * matern32(T[:, None] - T[None, :], lengthscale)
+    A = K + noise * np.eye(len(T))
+    try:
+        L = np.linalg.cholesky(A)
+    except np.linalg.LinAlgError:
+        return -np.inf
+    alpha = np.linalg.solve(L.T, np.linalg.solve(L, Y))
+    return float(
+        -0.5 * Y @ alpha - np.log(np.diag(L)).sum() - 0.5 * len(T) * np.log(2 * np.pi)
+    )
+
+
+def fit_fusion_params(
+    df: DataFrame,
+    sample_docs: int = 8,
+    lengthscales: tuple[float, ...] = (8.0, 16.0, 32.0, 64.0),
+    noises: tuple[float, ...] = (0.01, 0.05, 0.2),
+    rho: float = 0.7,
+) -> dict[str, float]:
+    """Fit-once / apply-many (the reference's MOGPRTransformer pattern,
+    mogpr.py:35-68: train on a small subgrid, freeze hyperparameters,
+    apply everywhere): grid-search (lengthscale, noise) by summed GP log
+    marginal likelihood over a deterministic driver-side sample of series,
+    then broadcast the frozen values into mogpr_fuse. Fully deterministic
+    (sample = first `sample_docs` doc_ids in sorted order)."""
+    sample_ids = [
+        r[0]
+        for r in df.select("doc_id").distinct().orderBy("doc_id")
+        .limit(sample_docs).collect()
+    ]
+    pdf = df.filter(F.col("doc_id").isin(sample_ids)).toPandas()
+    series = []
+    for _, g in pdf.groupby("doc_id", sort=True):
+        day = g["ts"].astype("int64").to_numpy() / 86400e9
+        series.append(
+            {
+                s: (day[(g["source"] == s).to_numpy()],
+                    g["value"].to_numpy(np.float64)[(g["source"] == s).to_numpy()])
+                for s in sorted(g["source"].unique())
+            }
+        )
+    best, best_ll = None, -np.inf
+    for ls in lengthscales:
+        for nz in noises:
+            ll = sum(
+                _log_marginal_likelihood(sig, ls, nz, rho) for sig in series
+            )
+            if ll > best_ll:
+                best, best_ll = (ls, nz), ll
+    return {"lengthscale": best[0], "noise": best[1], "rho": rho}
+
+
 def mogpr_fuse(
     df: DataFrame,
     lengthscale: float = 32.0,

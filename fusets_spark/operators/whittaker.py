@@ -93,6 +93,47 @@ def whittaker_solve(Y: np.ndarray, W: np.ndarray, lmbd: float) -> np.ndarray:
     return z
 
 
+def whittaker_vcurve(
+    Y: np.ndarray,
+    W: np.ndarray,
+    llas: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-series V-curve λ selection (Eilers' V-curve, the reference's
+    `ws2doptv` path taken when smoothing_lambda < 0, whittaker.py:172-174):
+    solve on a log10-λ grid, compute fit = Σ w(y−z)² and penalty = Σ(Δ²z)²
+    per λ, and pick λ = 10^midpoint at the minimum of
+    v = sqrt(Δlog(fit)² + Δlog(pen)²) / Δlog10(λ) between consecutive grid
+    points. Vectorized across series (one grid solve per λ over the whole
+    (S, n) batch).
+
+    Returns (z, lambda) per series: the final solve uses each series' own
+    selected λ."""
+    if llas is None:
+        llas = np.arange(-2.0, 8.0, 0.5)  # log10 grid
+    S, n = Y.shape
+    n_l = len(llas)
+    fits = np.empty((n_l, S))
+    pens = np.empty((n_l, S))
+    for i, la in enumerate(llas):
+        z = whittaker_solve(Y, W, 10.0**la)
+        fits[i] = np.sum(W * (Y - z) ** 2, axis=1)
+        d2 = np.diff(z, 2, axis=1)
+        pens[i] = np.sum(d2**2, axis=1)
+    eps = 1e-300
+    lf = np.log10(fits + eps)
+    lp = np.log10(pens + eps)
+    dl = np.diff(llas)
+    v = np.sqrt(np.diff(lf, axis=0) ** 2 + np.diff(lp, axis=0) ** 2) / dl[:, None]
+    k = np.argmin(v, axis=0)  # per series
+    lopt = 10.0 ** ((llas[k] + llas[k + 1]) / 2)
+    z_final = np.empty((S, n))
+    # final solve batched per distinct selected λ (grid has few values)
+    for lam in np.unique(lopt):
+        sel = lopt == lam
+        z_final[sel] = whittaker_solve(Y[sel], W[sel], float(lam))
+    return z_final, lopt
+
+
 def whittaker_smooth_series(
     epoch: np.ndarray,
     values: np.ndarray,
