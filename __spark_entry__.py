@@ -510,8 +510,19 @@ def q_merge_cubes_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_1m_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED rollup (north rule's hot-key skew defense):
+    identical oracle as rollup_1m — the salt must not change one value."""
+    from fusets_spark.operators.rollup import salted_rollup
+
+    pts = _event_points(spark, sf_dir)
+    out = salted_rollup(pts, "1m", n_salts=8, integer_values=False)
+    return _round_rollup(out)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "rollup_1m_salted": q_rollup_1m_salted,
         "merge_cubes_outer": q_merge_cubes_outer,
         "num_seasons": q_num_seasons,
         "remove_outliers_median": q_remove_outliers_median,
@@ -995,6 +1006,7 @@ FROM ann
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rollup_1m_salted": _ROLLUP_ORACLE.format(interval="1 minute"),
         "merge_cubes_outer": """
 WITH c AS (
   SELECT CAST(user_id AS VARCHAR) AS doc_id, ts, round(value, 6) AS click

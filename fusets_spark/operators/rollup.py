@@ -298,7 +298,11 @@ def rollup_ladder_union(points: DataFrame) -> DataFrame:
 
 
 def salted_rollup(
-    points: DataFrame, tier: str, n_salts: int = 16, value_col: str = "value"
+    points: DataFrame,
+    tier: str,
+    n_salts: int = 16,
+    value_col: str = "value",
+    integer_values: bool = True,
 ) -> DataFrame:
     """Two-phase salted aggregation for hot (source, bucket) skew.
 
@@ -313,12 +317,13 @@ def salted_rollup(
         F.unix_timestamp("ts") - F.pmod(F.unix_timestamp("ts"), F.lit(seconds))
     )
     v = F.col(value_col)
+    sum_expr = F.sum(v.cast("long")) if integer_values else F.sum(v)
     partial = (
         points.withColumn("_salt", F.pmod(F.col("pos"), F.lit(n_salts)))
         .groupBy(*SERIES_KEYS, bucket_ts.alias("bucket_ts"), F.col("_salt"))
         .agg(
             F.count(v).alias("n_obs"),
-            F.sum(v.cast("long")).alias("sum_val"),
+            sum_expr.alias("sum_val"),
             F.min(v).alias("min_val"),
             F.max(v).alias("max_val"),
             F.min_by(v, F.col("pos")).alias("first_val"),
