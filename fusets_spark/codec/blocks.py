@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .gorilla import decode_block, encode_block, encode_blocks_batched
+from .gorilla import decode_blocks_batch, encode_block, encode_blocks_batched
 
 BLOCK_SCHEMA = (
     "source string, doc_id string, bucket_ts timestamp, n_points long, "
@@ -156,22 +156,16 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            srcs, docs, tss, valss = [], [], [], []
-            for row in pdf.itertuples(index=False):
-                ts, vals = decode_block(bytes(row.block))
-                tss.append(ts)
-                valss.append(vals)
-                srcs.append(row.source)
-                docs.append(row.doc_id)
-            if not tss:
+            if not len(pdf):
                 continue
-            counts = [len(t) for t in tss]
+            blks = [bytes(b) for b in pdf["block"]]
+            counts, ts, vals = decode_blocks_batch(blks)
             yield pd.DataFrame(
                 {
-                    "source": np.repeat(np.asarray(srcs, dtype=object), counts),
-                    "doc_id": np.repeat(np.asarray(docs, dtype=object), counts),
-                    "ts": pd.to_datetime(np.concatenate(tss) * 10**3),
-                    "value": np.concatenate(valss),
+                    "source": np.repeat(pdf["source"].to_numpy(), counts),
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), counts),
+                    "ts": pd.to_datetime(ts * 10**3),
+                    "value": vals,
                 }
             )
 

@@ -440,6 +440,48 @@ def encode_block_pointwise(ts: np.ndarray, values: np.ndarray) -> bytes:
     return w.pack()
 
 
+def decode_blocks_batch(
+    blocks: list[bytes],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode many blocks: returns (counts, ts_concat, vals_concat).
+
+    Single-point blocks (exactly the 20-byte header) are decoded fully
+    vectorized — sparse series produce mostly 1-point blocks and the
+    per-block reader setup would dominate; multi-point blocks go through
+    the sequential reader."""
+    counts = np.fromiter(
+        (int.from_bytes(b[:4], "big") for b in blocks),
+        dtype=np.int64,
+        count=len(blocks),
+    )
+    single = counts == 1
+    ts_out: list[np.ndarray] = []
+    vals_out: list[np.ndarray] = []
+    if single.any():
+        joined = b"".join(b for b, s in zip(blocks, single) if s)
+        arr = np.frombuffer(joined, dtype=np.uint8).reshape(-1, 20)
+        ts1 = arr[:, 4:12].copy().view(">i8").astype(np.int64).ravel()
+        v1 = arr[:, 12:20].copy().view(">f8").astype(np.float64).ravel()
+    # stitch in original order
+    out_ts = []
+    out_vals = []
+    k1 = 0
+    for i, b in enumerate(blocks):
+        if single[i]:
+            out_ts.append(ts1[k1 : k1 + 1])
+            out_vals.append(v1[k1 : k1 + 1])
+            k1 += 1
+        else:
+            t, v = decode_block(b)
+            out_ts.append(t)
+            out_vals.append(v)
+    return (
+        counts,
+        np.concatenate(out_ts) if out_ts else np.empty(0, np.int64),
+        np.concatenate(out_vals) if out_vals else np.empty(0, np.float64),
+    )
+
+
 def decode_block(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of encode_block -> (ts int64, values float64)."""
     r = _BitReader(data)
