@@ -40,6 +40,7 @@ class Manifest:
     n_rows: int
     content_hash: str
     config_hash: str
+    n_bytes: int = 0  # on-disk bytes of the batch's partition tree
 
 
 def content_hash(df: DataFrame) -> tuple[int, str]:
@@ -105,19 +106,35 @@ class TierStore:
     def write_batch(
         self, df: DataFrame, tier: str, batch_id: str, config_hash: str
     ) -> Manifest:
-        """Steps 1-3 of the protocol (caller advances the watermark)."""
+        """Steps 1-3 of the protocol (caller advances the watermark).
+
+        Layout: batch=<id>/source=<s>/ — the source subpartition gives
+        partition pruning on the hot filter dimension (the Iceberg analog
+        is PARTITIONED BY (batch, source, hours(bucket_ts)))."""
         out = df.withColumn("batch", F.lit(batch_id))
+        part_cols = ["batch"] + (["source"] if "source" in df.columns else [])
         (
             out.write.mode("overwrite")
-            .partitionBy("batch")
+            .partitionBy(*part_cols)
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.tier_path(tier))
         )
         n, h = content_hash(df)
-        m = Manifest(tier, batch_id, n, h, config_hash)
+        n_bytes = self._tree_bytes(
+            os.path.join(self.tier_path(tier), f"batch={batch_id}")
+        )
+        m = Manifest(tier, batch_id, n, h, config_hash, n_bytes)
         with open(self._manifest_path(tier, batch_id), "w") as f:
             json.dump(asdict(m), f)
         return m
+
+    @staticmethod
+    def _tree_bytes(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            for name in files:
+                total += os.path.getsize(os.path.join(root, name))
+        return total
 
     def manifest(self, tier: str, batch_id: str) -> Manifest | None:
         p = self._manifest_path(tier, batch_id)

@@ -65,6 +65,20 @@ def test_kill_and_resume_identical(spark, batches, tmp_path):
     shutil.rmtree(crash_root)
 
 
+def test_partition_pruning_on_source(spark, batches, tmp_path):
+    """Tier storage is partitioned by (batch, source): a source filter must
+    prune partitions at scan time, and manifests carry byte counts."""
+    root = str(tmp_path / "prune")
+    pipe = RollupPipeline(root)
+    pipe.run(spark, dict(list(batches.items())[:1]))
+    df = pipe.read_tier(spark, "1m").filter("source = 's2ndvi'")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(source" in plan
+    for m in pipe.store.manifests("1m"):
+        assert m.n_bytes > 0
+    shutil.rmtree(root)
+
+
 def test_rerun_is_idempotent(spark, batches, tmp_path):
     root = str(tmp_path / "idem")
     pipe = RollupPipeline(root)
