@@ -375,7 +375,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall vs exact top-k asserted in tests)."""
     from fusets_spark.operators.similarity import ann_topk_lsh
 
-    return ann_topk_lsh(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20)
+    return ann_topk_lsh(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20, n_planes=4
+    )
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,7 +385,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fusets_spark.operators.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9
+        _t(spark, sf_dir, "embeddings"), threshold=0.25, n_planes=4
     )
 
 
