@@ -157,7 +157,6 @@ def fusion_fixture() -> pd.DataFrame:
     t = pd.date_range("2019-01-05", periods=146, freq="5D")
     d = np.arange(146) * 5.0
     for k in range(4):
-        base = np.cos(2 * np.pi * d / 365.25 + 0.3 * k)
         for s_i, (src, phase) in enumerate([("s2ndvi", 0.0), ("rvi", 0.6)]):
             v = 0.5 + 0.3 * np.cos(2 * np.pi * d / 365.25 + 0.3 * k + phase)
             v = v + 0.02 * np.sin(d / 11.0 + s_i)
@@ -171,5 +170,4 @@ def fusion_fixture() -> pd.DataFrame:
                     {"doc_id": f"px-{k:04d}", "source": src, "ts": t, "value": v}
                 )
             )
-        del base
     return pd.concat(frames, ignore_index=True)
