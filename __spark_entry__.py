@@ -9,6 +9,11 @@ Conventions shared by queries and oracles:
     (event_type AS source, user_id AS doc_id), unique order key = event_id.
   * double aggregates are rounded (sum->4dp, avg/std->6dp) in BOTH engines so
     the driver's value-hash is insensitive to float summation order.
+  * SIGNED rounded doubles (diffs, derivatives, slopes, band indices) add
+    `+ 0.0` after round() on BOTH sides: a tiny negative that rounds to zero
+    yields -0.0, DuckDB's round() preserves the sign while Spark's
+    normalizes, and the driver's value hash is sign-sensitive. IEEE 754:
+    -0.0 + 0.0 == +0.0, non-zero values are unchanged, NULL stays NULL.
 """
 
 from __future__ import annotations
@@ -29,6 +34,12 @@ from fusets_spark.operators.explode import DEFAULT_EPOCH  # noqa: F401 (re-expor
 from fusets_spark.operators.rollup import rollup_from_raw, rollup_from_tier
 
 SF0001 = "/root/testdata/sf0.001"
+
+
+def _rz(c, n: int):
+    """Sign-normalized round for SIGNED double columns (see module
+    docstring): forces -0.0 -> +0.0 so Spark and DuckDB hash identically."""
+    return F.round(c, n) + F.lit(0.0)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -181,11 +192,13 @@ def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = _event_points(spark, sf_dir)
     out = lag_lead_features(pts)
-    cols = ["v_lag1", "v_lag2", "v_lead1", "v_lead2", "avg3", "avg5",
-            "backward_diff", "forward_diff", "trend", "volatility"]
+    plain = ["v_lag1", "v_lag2", "v_lead1", "v_lead2", "avg3", "avg5",
+             "volatility"]
+    signed = ["backward_diff", "forward_diff", "trend"]
     return out.select(
         "source", "doc_id", "ts",
-        *[F.round(c, 6).alias(c) for c in cols],
+        *[F.round(c, 6).alias(c) for c in plain],
+        *[_rz(F.col(c), 6).alias(c) for c in signed],
     )
 
 
@@ -196,7 +209,7 @@ def q_time_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pts = _event_points(spark, sf_dir)
     return time_derivative(pts).select(
-        "source", "doc_id", "ts", F.round("dvdt", 6).alias("dvdt")
+        "source", "doc_id", "ts", _rz(F.col("dvdt"), 6).alias("dvdt")
     )
 
 
@@ -258,12 +271,13 @@ def q_phenometrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _event_points(spark, sf_dir)
     m = phenometrics(pts, factor=0.5)
     dbl = ["pos_value", "vos_value", "aos_value", "bse_value", "mos_value",
-           "sos_value", "eos_value", "roi_value", "rod_value",
-           "lios_value", "liot_value"]
+           "sos_value", "eos_value", "lios_value", "liot_value"]
+    signed = ["roi_value", "rod_value", "sios_value", "siot_value"]
     ints = ["pos_doy", "vos_doy", "sos_doy", "eos_doy", "los_value"]
     return m.select(
         "source", "doc_id",
         *[F.round(c, 6).alias(c) for c in dbl],
+        *[_rz(F.col(c), 6).alias(c) for c in signed],
         *[F.col(c).cast("long").alias(c) for c in ints],
     )
 
@@ -328,10 +342,10 @@ def q_bandmath_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(ndvi(nir, red), 6).alias("ndvi"),
-        F.round(evi(nir, red, blue), 6).alias("evi"),
-        F.round(mavi(nir, red, swir), 6).alias("mavi"),
-        F.round(rvi(nir, red), 6).alias("rvi"),
+        _rz(ndvi(nir, red), 6).alias("ndvi"),
+        _rz(evi(nir, red, blue), 6).alias("evi"),
+        _rz(mavi(nir, red, swir), 6).alias("mavi"),
+        _rz(rvi(nir, red), 6).alias("rvi"),
     )
 
 
@@ -595,9 +609,9 @@ SELECT source, doc_id, ts,
        round(p1, 6) AS v_lead1, round(p2, 6) AS v_lead2,
        round((l1 + value + p1) / 3, 6) AS avg3,
        round((l2 + l1 + value + p1 + p2) / 5, 6) AS avg5,
-       round(value - l1, 6) AS backward_diff,
-       round(p1 - value, 6) AS forward_diff,
-       round((2 * (p1 - value) + (value - l1)) / 3, 6) AS trend,
+       round(value - l1, 6) + 0.0 AS backward_diff,
+       round(p1 - value, 6) + 0.0 AS forward_diff,
+       round((2 * (p1 - value) + (value - l1)) / 3, 6) + 0.0 AS trend,
        round(abs(p1 - value) + abs(value - l1), 6) AS volatility
 FROM w
 """
@@ -606,7 +620,7 @@ _DERIV_ORACLE = """
 SELECT event_type AS source, user_id AS doc_id, ts,
        round((value - lag(value) OVER wo)
              / ((epoch_us(ts) - lag(epoch_us(ts)) OVER wo) / 1000000.0),
-             6) AS dvdt
+             6) + 0.0 AS dvdt
 FROM events
 WINDOW wo AS (PARTITION BY event_type, user_id ORDER BY ts)
 """
@@ -707,6 +721,7 @@ WITH p AS (
           + avg(CASE WHEN mr >= 0.8 * pos_value THEN mr END)) / 2
            AS mos_value,
          sum(trap_term) AS liot_value,
+         sum(next_doy - doy) AS span_total,
          max(CASE WHEN cand_l THEN 1 ELSE 0 END) AS has_l,
          max(CASE WHEN cand_r THEN 1 ELSE 0 END) AS has_r
   FROM ann5 GROUP BY source, doc_id
@@ -733,7 +748,7 @@ WITH p AS (
              a.doy, epoch_us(a.ts)) = 1
 ), fin AS (
   SELECT b.source, b.doc_id, b.pos_value, b.pos_doy, b.vos_value, b.vos_doy,
-         b.bse_value, b.aos_value, b.mos_value, b.liot_value,
+         b.bse_value, b.aos_value, b.mos_value, b.liot_value, b.span_total,
          CASE WHEN b.has_l = 1 THEN s.sos_value END AS sos_value,
          CASE WHEN b.has_l = 1 THEN s.sos_doy END AS sos_doy,
          CASE WHEN b.has_r = 1 THEN e.eos_value END AS eos_value,
@@ -742,7 +757,8 @@ WITH p AS (
   JOIN sos s USING (source, doc_id)
   JOIN eos e USING (source, doc_id)
 ), lios AS (
-  SELECT a.source, a.doc_id, sum(a.trap_term) AS lios_value
+  SELECT a.source, a.doc_id, sum(a.trap_term) AS lios_value,
+         sum(a.next_doy - a.doy) AS span_season
   FROM ann5 a JOIN fin USING (source, doc_id)
   WHERE a.doy >= fin.sos_doy AND a.next_doy <= fin.eos_doy
   GROUP BY a.source, a.doc_id
@@ -757,12 +773,16 @@ SELECT f.source, f.doc_id,
        round(f.eos_value, 6) AS eos_value,
        round(CASE WHEN f.pos_doy <> f.sos_doy
                   THEN (f.pos_value - f.sos_value) / (f.pos_doy - f.sos_doy)
-             END, 6) AS roi_value,
+             END, 6) + 0.0 AS roi_value,
        round(CASE WHEN f.eos_doy <> f.pos_doy
                   THEN (f.eos_value - f.pos_value) / (f.eos_doy - f.pos_doy)
-             END, 6) AS rod_value,
+             END, 6) + 0.0 AS rod_value,
        round(l.lios_value, 6) AS lios_value,
        round(f.liot_value, 6) AS liot_value,
+       round(l.lios_value - f.bse_value * l.span_season, 6) + 0.0
+         AS sios_value,
+       round(f.liot_value - f.bse_value * f.span_total, 6) + 0.0
+         AS siot_value,
        f.pos_doy, f.vos_doy, f.sos_doy, f.eos_doy,
        CAST(CASE WHEN f.eos_doy - f.sos_doy < 0
                  THEN f.eos_doy - f.sos_doy + 365
@@ -1046,14 +1066,14 @@ FROM documents
         "bandmath_indices": """
 SELECT l_orderkey, l_linenumber,
        round((l_extendedprice - l_quantity)
-             / (l_extendedprice + l_quantity), 6) AS ndvi,
+             / (l_extendedprice + l_quantity), 6) + 0.0 AS ndvi,
        round(2.5 * (l_extendedprice - l_quantity)
              / (l_extendedprice + 6 * l_quantity - 7.5 * l_discount + 1), 6)
-         AS evi,
+         + 0.0 AS evi,
        round((l_extendedprice - l_quantity)
-             / (l_extendedprice + l_quantity + l_tax), 6) AS mavi,
+             / (l_extendedprice + l_quantity + l_tax), 6) + 0.0 AS mavi,
        round((l_quantity + l_quantity)
-             / (l_extendedprice + l_quantity), 6) AS rvi
+             / (l_extendedprice + l_quantity), 6) + 0.0 AS rvi
 FROM lineitem
 """,
         "zscore_outliers": _ZSCORE_ORACLE,

@@ -27,6 +27,10 @@ Per series (one season per series, like the reference's per-pixel cubes):
   LOS       eos_doy − sos_doy, +365 wrap (_phenolopy.py:1924-1978)
   ROI/ROD   rates of increase/decrease (_phenolopy.py:1981-2078)
   LIOS/LIOT trapezoidal integrals, day spacing (_phenolopy.py:2081-2314)
+  SIOS/SIOT integral minus the base-rectangle trapezoid: constant bse over
+            the same span, so sios = lios − bse·span_season and
+            siot = liot − bse·span_total (_phenolopy.py:2136-2214 get_sios,
+            2255-2313 get_siot, base_metric 'bse' default)
 
 Plan: window-annotate (one shuffle on the series key) -> scalar aggregate ->
 join scalars back for the method target -> argmin aggregate -> in-season
@@ -149,10 +153,18 @@ def phenometrics(
         F.percentile(v, F.lit(0.10)).alias("_q10"),
         F.percentile(v, F.lit(0.90)).alias("_q90"),
         F.sum("trap_term").alias("liot_value"),
+        F.sum(F.col("next_doy") - F.col("doy")).alias("_span_total"),
     )
-    scalars = scalars.withColumn(
-        "bse_value", (F.col("_min_l") + F.col("_min_r")) / 2
-    ).withColumn("aos_value", F.col("pos_value") - F.col("bse_value"))
+    scalars = (
+        scalars.withColumn(
+            "bse_value", (F.col("_min_l") + F.col("_min_r")) / 2
+        )
+        .withColumn("aos_value", F.col("pos_value") - F.col("bse_value"))
+        .withColumn(
+            "siot_value",
+            F.col("liot_value") - F.col("bse_value") * F.col("_span_total"),
+        )
+    )
 
     # --- stage 3: method target + argmin over candidates
     if method == "seasonal_amplitude":
@@ -202,7 +214,7 @@ def phenometrics(
         .withColumn("eos_value", F.when(F.col("_has_r") == 1, F.col("_eosr.v")))
         .withColumn("eos_doy", F.when(F.col("_has_r") == 1, F.col("_eosr.d")))
         .drop("_sosr", "_eosr", "_has_l", "_has_r", "_min_l", "_min_r",
-              "_med_l", "_med_r", "_q10", "_q90")
+              "_med_l", "_med_r", "_q10", "_q90", "_span_total")
     )
     los = F.col("eos_doy") - F.col("sos_doy")
     m = (
@@ -233,6 +245,14 @@ def phenometrics(
         & (F.col("next_doy") <= F.col("eos_doy"))
     )
     lios = season.groupBy(*SERIES_KEYS).agg(
-        F.sum("trap_term").alias("lios_value")
+        F.sum("trap_term").alias("lios_value"),
+        F.sum(F.col("next_doy") - F.col("doy")).alias("_span_season"),
     )
-    return m.join(lios, SERIES_KEYS, "left")
+    return (
+        m.join(lios, SERIES_KEYS, "left")
+        .withColumn(
+            "sios_value",
+            F.col("lios_value") - F.col("bse_value") * F.col("_span_season"),
+        )
+        .drop("_span_season")
+    )

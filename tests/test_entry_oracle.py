@@ -77,6 +77,16 @@ def test_query_matches_duckdb_oracle(spark, duck, name):
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # The driver's value hash is SIGN-SENSITIVE: -0.0 != +0.0 there, while
+    # assert_frame_equal treats them as equal. Compare raw float64 bits too.
+    for c in got.columns:
+        if got[c].dtype == np.float64:
+            gb = got[c].to_numpy(np.float64).tobytes()
+            wb = want[c].to_numpy(np.float64).tobytes()
+            assert gb == wb, (
+                f"{name}.{c}: float bit mismatch (likely -0.0 vs +0.0 — "
+                "add the `+ 0.0` sign normalization on both sides)"
+            )
 
 
 def test_entry_smoke(spark):
