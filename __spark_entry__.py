@@ -374,7 +374,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fusets_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), shingle_words=3, threshold=0.05
+        _t(spark, sf_dir, "documents"),
+        shingle_words=3,
+        threshold=0.05,
+        max_doc_freq=100,
     )
 
 
@@ -384,22 +387,28 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20)
 
 
+_ANN_PARAMS = dict(k=20, n_planes=5, n_probes=2, seed=42, dim=64)
+_NEARDUP_PARAMS = dict(threshold=0.25, n_planes=5, n_tables=3, seed=7, dim=64)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (rows-only: hyperplanes are numpy-side literals;
-    recall vs exact top-k asserted in tests)."""
+    """Multi-probe LSH ANN: exact cosine within the query's probe-bucket set
+    (own bucket + flips of the lowest-|margin| planes). Hyperplanes are
+    deterministic literals shared with the SQL oracle."""
     from fusets_spark.operators.similarity import ann_topk_lsh
 
     return ann_topk_lsh(
-        _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=20, n_planes=4
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, **_ANN_PARAMS
     )
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH bucket self-join (rows-only)."""
+    """Embedding-cosine near-dup pairs via banded multi-table LSH
+    (candidates = same bucket in ANY table), exact cosine ≥ threshold."""
     from fusets_spark.operators.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.25, n_planes=4
+        _t(spark, sf_dir, "embeddings"), **_NEARDUP_PARAMS
     )
 
 
@@ -868,9 +877,20 @@ WITH w AS (
   FROM sh0
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), rare AS (
+  SELECT sh.doc_id, sh.shingle
+  FROM sh JOIN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100
+  ) f USING (shingle)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT cand.doc_a, cand.doc_b, count(*) AS n_inter
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.doc_a
+  JOIN sh b ON b.doc_id = cand.doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_inter,
@@ -897,12 +917,128 @@ WITH q AS (
          sqrt(list_sum(list_transform(qe, x -> x * x))) AS nq
   FROM e, q
 )
-SELECT vec_id, label, round(dot / (nv * nq), 6) AS cos,
+SELECT vec_id, label, round(dot / (nv * nq), 6) + 0.0 AS cos,
        CAST(row_number() OVER (ORDER BY dot / (nv * nq) DESC, vec_id)
             AS BIGINT) AS rank
 FROM s
 QUALIFY rank <= 20
 """
+
+def _plane_values_sql(planes) -> str:
+    """DuckDB VALUES rows `(table, plane, [literal doubles])` for the exact
+    hyperplanes the Spark operators embed as plan literals (repr round-trips
+    float64, so both engines parse bit-identical plane values)."""
+    rows = []
+    for t, p, vec in planes:
+        lit = ", ".join(repr(float(v)) for v in vec)
+        rows.append(f"({t}, {p}, [{lit}]::DOUBLE[])")
+    return ",\n    ".join(rows)
+
+
+def _ann_oracle() -> str:
+    """Multi-probe LSH ANN oracle: identical plane literals, bucket strings,
+    probe-set construction (flip lowest-|margin| planes), exact cosine
+    ranking — mirrors operators/similarity.py:ann_topk_lsh."""
+    from fusets_spark.operators.similarity import make_planes
+
+    P = _ANN_PARAMS
+    planes = make_planes(P["n_planes"], P["dim"], P["seed"])
+    vals = _plane_values_sql([(0, p, planes[p]) for p in range(P["n_planes"])])
+    return f"""
+WITH planes(t, p, pl) AS (VALUES
+    {vals}
+), e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+), m AS (
+  SELECT vec_id, label, ve, p,
+         list_sum(list_transform(range(1, {P['dim'] + 1}),
+                                 i -> ve[i] * pl[i])) AS dot
+  FROM e CROSS JOIN planes
+), b AS (
+  SELECT vec_id, any_value(label) AS label, any_value(ve) AS ve,
+         string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY p) AS bucket
+  FROM m GROUP BY vec_id
+), q AS (
+  SELECT string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY p) AS qb,
+         any_value(ve) AS qve,
+         list_transform(
+           list_sort(list(struct_pack(a := abs(dot), p := p))),
+           s -> s.p) AS ord
+  FROM m WHERE vec_id = 0 GROUP BY vec_id
+), pr AS (
+  SELECT qve,
+         list_concat([qb],
+           list_transform(ord[1:{P['n_probes']}],
+             p -> substr(qb, 1, p)
+                  || (CASE WHEN substr(qb, p + 1, 1) = '1'
+                           THEN '0' ELSE '1' END)
+                  || substr(qb, p + 2))) AS probes
+  FROM q
+), s AS (
+  SELECT b.vec_id, b.label,
+         list_sum(list_transform(range(1, {P['dim'] + 1}),
+                                 i -> b.ve[i] * pr.qve[i]))
+           / (sqrt(list_sum(list_transform(b.ve, x -> x * x)))
+              * sqrt(list_sum(list_transform(pr.qve, x -> x * x)))) AS cos
+  FROM b, pr WHERE list_contains(pr.probes, b.bucket)
+)
+SELECT vec_id, label, round(cos, 6) + 0.0 AS cos,
+       CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= {P['k']}
+"""
+
+
+def _neardup_oracle() -> str:
+    """Banded multi-table LSH near-dup oracle — mirrors
+    operators/similarity.py:embedding_neardup_pairs."""
+    from fusets_spark.operators.similarity import make_planes
+
+    P = _NEARDUP_PARAMS
+    rows = []
+    for t in range(P["n_tables"]):
+        planes = make_planes(P["n_planes"], P["dim"], P["seed"] + 7919 * t)
+        rows += [(t, p, planes[p]) for p in range(P["n_planes"])]
+    vals = _plane_values_sql(rows)
+    return f"""
+WITH planes(t, p, pl) AS (VALUES
+    {vals}
+), e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+), m AS (
+  SELECT vec_id, ve, t, p,
+         list_sum(list_transform(range(1, {P['dim'] + 1}),
+                                 i -> ve[i] * pl[i])) AS dot
+  FROM e CROSS JOIN planes
+), b AS (
+  SELECT vec_id, t,
+         string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY p) AS bucket
+  FROM m GROUP BY vec_id, t
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM b a JOIN b c
+    ON a.t = c.t AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+), s AS (
+  SELECT cand.vec_a, cand.vec_b,
+         list_sum(list_transform(range(1, {P['dim'] + 1}),
+                                 i -> ea.ve[i] * eb.ve[i]))
+           / (sqrt(list_sum(list_transform(ea.ve, x -> x * x)))
+              * sqrt(list_sum(list_transform(eb.ve, x -> x * x)))) AS cos
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.vec_a
+  JOIN e eb ON eb.vec_id = cand.vec_b
+)
+SELECT vec_a, vec_b, round(cos, 6) + 0.0 AS cos
+FROM s WHERE cos >= {P['threshold']}
+"""
+
 
 _QUALITY_ORACLE = r"""
 WITH w AS (
@@ -1053,6 +1189,8 @@ FROM documents GROUP BY 1
         "dedup_simhash": _SIMHASH_ORACLE,
         "dedup_ngram_jaccard": _JACCARD_ORACLE,
         "cosine_topk": _COSINE_ORACLE,
+        "ann_lsh_topk": _ann_oracle(),
+        "embedding_neardup": _neardup_oracle(),
         "text_quality": _QUALITY_ORACLE,
         "lang_id": _LANGID_ORACLE,
         "token_counts": _TOKEN_ORACLE,

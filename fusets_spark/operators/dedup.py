@@ -7,23 +7,44 @@ in Spark and DuckDB) with LEXICOGRAPHIC string mins for MinHash — no
 engine-specific integer hashing anywhere, so every operator here has an
 exact SQL oracle. Everything is native DataFrame expressions (no UDFs):
 shingling via transform/sequence, banding via md5 of concatenated minhashes,
-candidate pairs via self-equi-join on band keys (broadcast-able: band
-buckets are small).
+candidate pairs via self-equi-join on band keys.
+
+Scale notes:
+  * candidate generation is always BUCKETED (band key / shared shingle /
+    LSH bucket) — never an all-pairs cross join;
+  * ngram_jaccard_pairs frequency-caps hot shingles before the self-join
+    (one boilerplate shingle shared by m docs is m²/2 join rows otherwise)
+    and then verifies candidates with the EXACT Jaccard over full sets;
+  * simhash is a pure per-row scan (higher-order array fold, zero shuffle).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 WORDS = F.split(F.trim(F.col("text")), " +")
 
 
 def _shingles(n: int = 3):
-    """n-word shingles of the whitespace-tokenized text (0-based arrays)."""
+    """n-word shingles of the whitespace-tokenized text (0-based arrays).
+    Guarded for size(words) < n: sequence(0, size-n) would run DESCENDING
+    and index past the array (INVALID_ARRAY_INDEX under ANSI); short docs
+    yield an empty shingle array instead."""
     idx = ", ".join(f"words[i+{k}]" for k in range(n))
     return F.expr(
+        f"CASE WHEN size(words) >= {n} THEN "
         f"transform(sequence(0, size(words)-{n}), i -> concat_ws(' ', {idx}))"
+        f" ELSE array() END"
+    )
+
+
+def _doc_shingles(docs: DataFrame, shingle_words: int) -> DataFrame:
+    """Distinct (doc_id, shingle)."""
+    return (
+        docs.withColumn("words", WORDS)
+        .select("doc_id", F.explode(_shingles(shingle_words)).alias("shingle"))
+        .distinct()
     )
 
 
@@ -44,11 +65,7 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: h_i = min over shingles of
     md5(shingle || ':' || i) — string min, portable across engines."""
-    sh = (
-        docs.withColumn("words", WORDS)
-        .select("doc_id", F.explode(_shingles(shingle_words)).alias("shingle"))
-        .distinct()
-    )
+    sh = _doc_shingles(docs, shingle_words)
     aggs = [
         F.min(F.md5(F.concat_ws(":", F.col("shingle"), F.lit(str(i))))).alias(
             f"mh{i}"
@@ -97,85 +114,99 @@ def minhash_lsh_pairs(
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     """SimHash as a portable bit-string: word -> md5 hex; hex nibble j
     supplies bit 4j..4j+3; each set bit votes +1, clear bit -1; simhash bit
-    = 1 iff the vote sum > 0. Returned as a `bits`-char '0'/'1' string
-    (comparable across engines without 64-bit integer portability issues).
-    """
+    = 1 iff the vote sum > 0. Returned as a `bits`-char '0'/'1' string.
+
+    Plan shape: a single per-row higher-order array fold (aggregate over the
+    word-hash array of zip_with'd ±1 vote vectors) — ZERO shuffle and no row
+    blowup, vs. the naive words × bits explode + two groupBys (a 64× shuffle
+    amplification). Every word OCCURRENCE votes (duplicates kept)."""
     nibbles = bits // 4
-    w = (
-        docs.withColumn("words", WORDS)
-        .select("doc_id", F.explode("words").alias("word"))
-        .withColumn("h", F.substring(F.md5("word"), 1, nibbles))
+    hashes = F.transform(WORDS, lambda w: F.substring(F.md5(w), 1, nibbles))
+
+    def votes(hx: Column) -> Column:
+        # ±1 vote vector of length `bits` for one word hash. Bit b lives in
+        # hex nibble b//4 at position 3-(b%4); extracted arithmetically
+        # (floor-div by 2^(3-b%4) mod 2) — exact for nibble values 0..15.
+        def one(b: Column) -> Column:
+            nv = (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substr(hx, (b / 4).cast("int") + 1, F.lit(1)),
+                )
+                - 1
+            )
+            denom = F.pow(F.lit(2.0), (3 - F.pmod(b, 4)).cast("double"))
+            bit = F.pmod(F.floor(nv / denom), 2)
+            return F.when(bit == 1, 1).otherwise(-1)
+
+        return F.transform(F.sequence(F.lit(0), F.lit(bits - 1)), one)
+
+    acc = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda a, hx: F.zip_with(a, votes(hx), lambda x, v: x + v),
     )
-    exploded = w.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
+    sim = F.concat_ws(
+        "", F.transform(acc, lambda s: (s > 0).cast("int").cast("string"))
     )
-    nibble_val = (
-        F.instr(
-            F.lit("0123456789abcdef"),
-            F.expr("substring(h, cast(bit / 4 as int) + 1, 1)"),
-        )
-        - 1
-    )
-    exploded = exploded.withColumn("nv", nibble_val.cast("int"))
-    bit_set = F.expr("shiftright(nv, 3 - cast(pmod(bit, 4) as int)) & 1")
-    vote = F.when(bit_set == 1, 1).otherwise(-1)
-    return (
-        exploded.groupBy("doc_id", "bit")
-        .agg(F.sum(vote).alias("v"))
-        .groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(F.col("bit"), (F.col("v") > 0).cast("int").alias("s"))
-                        )
-                    ),
-                    lambda x: x["s"].cast("string"),
-                ),
-            ).alias("simhash")
-        )
-    )
+    return docs.select("doc_id", sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, shingle_words: int = 3, threshold: float = 0.05
+    docs: DataFrame,
+    shingle_words: int = 3,
+    threshold: float = 0.05,
+    max_doc_freq: int = 100,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for every pair sharing ≥1 shingle.
+    """Exact n-gram Jaccard for candidate pairs sharing ≥1 NON-HOT shingle.
 
-    Scale path: the shared-shingle join prunes the O(n²) pair space to
-    colliding docs only; hot shingles should be frequency-capped upstream
-    (df.filter on shingle doc-frequency) on web-scale corpora."""
-    sh = (
-        docs.withColumn("words", WORDS)
-        .select("doc_id", F.explode(_shingles(shingle_words)).alias("shingle"))
-        .distinct()
-    )
+    Scale path: candidate generation self-joins only on shingles whose
+    document frequency ≤ max_doc_freq — a boilerplate shingle shared by m
+    docs would otherwise contribute m²/2 join rows. The Jaccard value is
+    then computed EXACTLY over the candidates' full shingle sets (hot
+    shingles included), so the cap only bounds candidate generation; pairs
+    whose overlap is exclusively boilerplate are the accepted recall loss."""
+    sh = _doc_shingles(docs, shingle_words)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("shingle"),
+        "shingle",
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .distinct()
+    )
+    # exact intersection size over FULL shingle sets, per candidate pair
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     out = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out.select("doc_a", "doc_b", "n_inter", F.round("jaccard", 6).alias("jaccard"))
+    return out.select(
+        "doc_a", "doc_b", "n_inter", F.round("jaccard", 6).alias("jaccard")
+    )

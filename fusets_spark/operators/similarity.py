@@ -1,19 +1,30 @@
 """Similarity search over embedding columns (engine extension, round brief).
 
 Brute-force cosine top-k is the exactness baseline (native higher-order
-array functions — zip_with + aggregate, JVM-side, no UDF). The scale path is
-random-hyperplane LSH bucketing: hyperplanes are a deterministic function of
-(seed, plane, dim) so bucket assignment is reproducible at any parallelism;
-queries probe only their own bucket (multi-probe = flip lowest-confidence
-bits, left for a later round). Embedding-cosine near-dup pairs reuse the
-bucket join.
+array functions — zip_with + aggregate, JVM-side, no UDF). Top-k NEVER uses
+a global window: `orderBy(...).limit(k)` compiles to TakeOrderedAndProject
+(per-partition partial top-k, merged on the driver) so the plan stays
+parallel at any corpus size; only the k survivors are ranked.
+
+The scale path is random-hyperplane LSH:
+  * bucketing — hyperplanes are a deterministic function of
+    (table, plane, dim) so bucket assignment is reproducible at any
+    parallelism, and the plane values are plain literals in the plan
+    (mirrorable into a SQL oracle);
+  * multi-probe ANN — the query probes its own bucket plus the buckets
+    reached by flipping its lowest-|margin| bits, recovering recall without
+    more tables;
+  * near-dup — banded MULTI-TABLE LSH: several independent plane sets,
+    same-bucket candidate pairs unioned across tables, then the exact
+    cosine filter. One table with few planes degrades to ~n²/2^planes
+    candidate pairs; multiple tables let each table carry enough planes to
+    keep buckets small while the union keeps recall.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..datagen import _hash01
@@ -37,6 +48,44 @@ def _norm(a: Column) -> Column:
     )
 
 
+def make_planes(n_planes: int, dim: int = 64, seed: int = 42) -> np.ndarray:
+    """Deterministic Gaussian-ish hyperplanes from the splitmix hash
+    (datagen._hash01) — identical at any parallelism, embeddable as plan
+    literals (and therefore into a SQL oracle)."""
+    planes = np.empty((n_planes, dim))
+    for p in range(n_planes):
+        u1 = _hash01(np.full(dim, p), np.arange(dim), seed)
+        u2 = _hash01(np.full(dim, p), np.arange(dim), seed ^ 0x5A5A)
+        planes[p] = np.sqrt(-2 * np.log(u1 + 1e-12)) * np.cos(2 * np.pi * u2)
+    return planes
+
+
+def _plane_dot(vec_col: str, plane: np.ndarray) -> Column:
+    arr = F.array(*[F.lit(float(v)) for v in plane])
+    return _dot(F.col(vec_col), arr)
+
+
+def _bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
+    bits = [
+        (_plane_dot(vec_col, p) > 0).cast("int").cast("string") for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def _ranked_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Partial top-k (TakeOrderedAndProject — no single-partition global
+    sort), then rank ONLY the k survivors (window over ≤k rows)."""
+    top = scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        id_col,
+        "label",
+        # cos is signed: normalize -0.0 after rounding (driver hash).
+        (F.round("cos", 6) + F.lit(0.0)).alias("cos"),
+        "rank",
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -47,8 +96,6 @@ def cosine_topk(
     """Exact top-k by cosine similarity to one stored vector. The 1-row
     query side is broadcast; ranking is fully deterministic
     (cos DESC, vec_id ASC)."""
-    from pyspark.sql import Window
-
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("qvec")
     )
@@ -56,17 +103,8 @@ def cosine_topk(
     cos = _dot(F.col(vec_col), F.col("qvec")) / (
         _norm(F.col(vec_col)) * _norm(F.col("qvec"))
     )
-    ranked = joined.select(
-        F.col(id_col), F.col("label"), cos.alias("cos")
-    ).withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())
-        ),
-    )
-    return ranked.filter(F.col("rank") <= k).select(
-        id_col, "label", F.round("cos", 6).alias("cos"), "rank"
-    )
+    scored = joined.select(F.col(id_col), F.col("label"), cos.alias("cos"))
+    return _ranked_topk(scored, k, id_col)
 
 
 def lsh_bucket(
@@ -77,19 +115,22 @@ def lsh_bucket(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane LSH bucket per vector, as an n_planes-char '0'/'1'
-    string. Hyperplanes are deterministic Gaussian-ish values from the
-    splitmix hash (datagen._hash01), broadcast as literals into a native
-    expression — vectorized, UDF-free, reproducible."""
-    planes = np.empty((n_planes, dim))
-    for p in range(n_planes):
-        u1 = _hash01(np.full(dim, p), np.arange(dim), seed)
-        u2 = _hash01(np.full(dim, p), np.arange(dim), seed ^ 0x5A5A)
-        planes[p] = np.sqrt(-2 * np.log(u1 + 1e-12)) * np.cos(2 * np.pi * u2)
-    bits = []
-    for p in range(n_planes):
-        arr = F.array(*[F.lit(float(v)) for v in planes[p]])
-        bits.append((_dot(F.col(vec_col), arr) > 0).cast("int").cast("string"))
-    return embeddings.withColumn("bucket", F.concat(*bits))
+    string — vectorized, UDF-free, reproducible."""
+    planes = make_planes(n_planes, dim, seed)
+    return embeddings.withColumn("bucket", _bucket_expr(vec_col, planes))
+
+
+def probe_buckets(qvec: np.ndarray, planes: np.ndarray, n_probes: int) -> list[str]:
+    """Query bucket + the n_probes buckets at Hamming distance 1 obtained by
+    flipping the lowest-|margin| planes (classic multi-probe LSH)."""
+    margins = planes @ qvec
+    base = ["1" if m > 0 else "0" for m in margins]
+    out = ["".join(base)]
+    for p in np.argsort(np.abs(margins), kind="stable")[:n_probes]:
+        flipped = base.copy()
+        flipped[p] = "0" if base[p] == "1" else "1"
+        out.append("".join(flipped))
+    return out
 
 
 def ann_topk_lsh(
@@ -97,60 +138,118 @@ def ann_topk_lsh(
     query_vec_id: int,
     k: int = 20,
     n_planes: int = 8,
+    n_probes: int = 2,
     seed: int = 42,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking WITHIN the query's LSH
-    bucket. Recall < 1 by design; at corpus scale the bucket join replaces
-    the full cross join (bucket is the shuffle/partition key)."""
-    from pyspark.sql import Window
-
+    """Approximate top-k: exact cosine ranking within the query's probe
+    bucket set (own bucket + n_probes lowest-margin bit flips). The bucket
+    equi-join against a tiny broadcast probe list replaces the full cross
+    join; the probed fraction of the corpus is ~(1 + n_probes)/2^n_planes."""
+    planes = make_planes(n_planes, dim, seed)
     bucketed = lsh_bucket(embeddings, n_planes, seed, dim)
     q = bucketed.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
     )
+    # Probe set from the query's margins — computed JVM-side on the 1-row
+    # broadcast frame: flip the n_probes lowest-|margin| bits one at a time.
+    q = q.select(
+        "qvec",
+        "qbucket",
+        *[_plane_dot("qvec", planes[p]).alias(f"_m{p}") for p in range(n_planes)],
+    )
+    lowest = F.slice(
+        F.transform(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            F.abs(F.col(f"_m{p}")).alias("a"),
+                            F.lit(p).alias("p"),
+                        )
+                        for p in range(n_planes)
+                    ]
+                )
+            ),
+            lambda s: s["p"],
+        ),
+        1,
+        n_probes,
+    )
+
+    def _flip(p: Column) -> Column:  # p = 0-based plane index to flip
+        b = F.col("qbucket")
+        return F.concat(
+            F.substr(b, F.lit(1), p),
+            F.when(F.substr(b, p + 1, F.lit(1)) == "1", F.lit("0")).otherwise(
+                F.lit("1")
+            ),
+            F.substr(b, p + 2, F.lit(n_planes)),
+        )
+
+    probes = F.array_union(
+        F.array(F.col("qbucket")), F.transform(lowest, _flip)
+    )
+    q = q.select("qvec", probes.alias("probes"))
     cand = bucketed.join(
-        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+        F.broadcast(q), F.array_contains(F.col("probes"), F.col("bucket"))
     )
     cos = _dot(F.col("embedding"), F.col("qvec")) / (
         _norm(F.col("embedding")) * _norm(F.col("qvec"))
     )
-    ranked = cand.select("vec_id", "label", cos.alias("cos")).withColumn(
-        "rank",
-        F.row_number().over(Window.orderBy(F.col("cos").desc(), "vec_id")),
-    )
-    return ranked.filter(F.col("rank") <= k).select(
-        "vec_id", "label", F.round("cos", 6).alias("cos"), "rank"
-    )
+    scored = cand.select("vec_id", "label", cos.alias("cos"))
+    return _ranked_topk(scored, k, "vec_id")
 
 
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 6,
+    n_tables: int = 3,
     seed: int = 7,
     dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate candidate pairs via LSH-bucket
-    self-join (same-bucket pairs only), exact cosine filter ≥ threshold."""
-    b = lsh_bucket(embeddings, n_planes, seed, dim).select(
-        "vec_id", "embedding", "bucket"
-    )
-    a, c = b.alias("a"), b.alias("b")
-    pairs = a.join(
-        c,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
-    )
-    return (
-        pairs.select(
+    """Embedding-cosine near-duplicate pairs via banded multi-table LSH:
+    candidate pairs share a bucket in ANY of n_tables independent plane
+    sets; the exact cosine filter (≥ threshold) then removes false
+    positives. Scale shape: per-table buckets hold ~n/2^n_planes vectors, so
+    candidate volume is O(n_tables · n²/2^n_planes) — raise n_planes for
+    corpus growth and add tables to hold recall, instead of letting one
+    low-plane table go quadratic."""
+    stacked = None
+    for t in range(n_tables):
+        planes = make_planes(n_planes, dim, seed + 7919 * t)
+        part = embeddings.select(
+            "vec_id",
+            "embedding",
+            F.lit(t).alias("table_no"),
+            _bucket_expr("embedding", planes).alias("bucket"),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_no") == F.col("b.table_no"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
         )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return (
+        cand.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.round("cos", 6) + F.lit(0.0)).alias("cos"),
+        )
     )

@@ -51,6 +51,26 @@ def test_udf_stage_does_not_widen_scan(spark):
     assert "props" not in scan and "event_id" not in scan
 
 
+def test_topk_has_no_global_window_sort(spark):
+    """Top-k must compile to TakeOrderedAndProject (parallel partial top-k),
+    never a single-partition global sort feeding a window: the window may
+    only run AFTER the k-row limit."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for name in ("cosine_topk", "ann_lsh_topk"):
+        plan = _plan(mod.queries()[name](spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
+        # any Window must sit above the TakeOrderedAndProject (k rows only)
+        if "Window" in plan:
+            assert plan.index("Window") < plan.index("TakeOrderedAndProject"), (
+                f"{name}: window below the top-k limit = global sort"
+            )
+
+
 def test_broadcast_join_for_small_side(spark):
     """The cosine top-k query must broadcast its 1-row query side."""
     import importlib.util

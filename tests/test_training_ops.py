@@ -37,6 +37,58 @@ def test_lsh_bucket_deterministic_across_partitioning(spark):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_ngram_jaccard_hot_shingle_capped(spark):
+    """One boilerplate shingle shared by ALL docs must not make candidate
+    generation quadratic: with the doc-frequency cap, pairs whose only
+    overlap is the hot shingle never become candidates, while true near-dups
+    keep their EXACT Jaccard (hot shingle still counted in the value)."""
+    from fusets_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (i, f"unique{i}a unique{i}b unique{i}c unique{i}d {boiler}")
+        for i in range(40)
+    ]
+    # one true near-dup pair sharing a rare 4-gram prefix
+    rows.append((100, f"shared one two three four tail100 {boiler}"))
+    rows.append((101, f"shared one two three four tail101 {boiler}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ngram_jaccard_pairs(
+        docs, shingle_words=4, threshold=0.0, max_doc_freq=10
+    ).toPandas()
+    # threshold=0 ⇒ output == candidate set: only the true pair survives
+    assert len(got) == 1
+    assert (got.loc[0, "doc_a"], got.loc[0, "doc_b"]) == (100, 101)
+    # The Jaccard VALUE still counts hot shingles: 10-word docs have 7
+    # 4-gram shingles; 100/101 share 'shared one two three',
+    # 'one two three four' and the boilerplate shingle -> 3/(7+7-3)
+    assert got.loc[0, "n_inter"] == 3
+    assert abs(got.loc[0, "jaccard"] - 3 / 11) < 1e-6
+
+
+def test_shingles_short_doc_ansi_safe(spark):
+    """Docs shorter than the shingle width must yield zero shingles, not an
+    ANSI INVALID_ARRAY_INDEX (sequence(0, size-n) runs descending)."""
+    from fusets_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "a full five word document here")],
+        "doc_id long, text string",
+    )
+    got = minhash_signatures(docs, n_hashes=2, shingle_words=3).toPandas()
+    assert got["doc_id"].tolist() == [2]
+
+
+def test_simhash_single_scan_no_shuffle(spark):
+    """simhash is a pure per-row fold: the plan must contain no Exchange
+    (the old words×64 explode forced two shuffled aggregations)."""
+    from fusets_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = simhash(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_multimodal_stub_pipeline(spark):
     from fusets_spark.operators.multimodal import (
         attach_binary_payload,
