@@ -310,6 +310,23 @@ def q_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point fitted values of the CCDC harmonic OLS fit (reference
+    ccdc.py:118-154) — the driver-verifiable face of harmonic_fit: fitted
+    values are basis-invariant, so the DuckDB oracle projects y onto the
+    same model space through a sequentially-orthogonalized basis (window
+    sums), avoiding the ill-conditioned raw normal equations."""
+    from fusets_spark.operators.harmonics import harmonic_fitted
+
+    pts = _event_points(spark, sf_dir).select(
+        "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
+    )
+    out = harmonic_fitted(pts, num_coefficients=4)
+    return out.select(
+        "source", "doc_id", "ts", _rz(F.col("yhat"), 6).alias("yhat")
+    )
+
+
 def q_mogpr_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOGPR-recast multi-signal fusion (reference mogpr.py:139-221) with
     fixed hyperparameters — rows-only; shape contract + determinism pinned
@@ -463,8 +480,8 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Savitzky-Golay smoothing (reference _phenolopy.py:765-771) — scipy
-    default semantics in pure numpy, rows-only; polynomial-preservation
-    properties pinned in tests/test_smoothing.py."""
+    default semantics in pure numpy; DuckDB oracle = the same smoothing
+    matrices as literal window dot products (_savgol_oracle)."""
     from fusets_spark.operators.smoothing import savgol_smooth
 
     pts = _event_points(spark, sf_dir).select(
@@ -472,13 +489,14 @@ def q_savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = savgol_smooth(pts, window=7, polyorder=2)
     return out.select(
-        "source", "doc_id", "ts", F.round("value_smooth", 6).alias("value_smooth")
+        "source", "doc_id", "ts", _rz(F.col("value_smooth"), 6).alias("value_smooth")
     )
 
 
 def q_gaussian_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaussian smoothing (reference _phenolopy.py:773-779), reflect padding,
-    truncate=4 — rows-only; kernel properties pinned in tests."""
+    truncate=4; DuckDB oracle folds the padding into literal edge weights
+    (_gaussian_oracle)."""
     from fusets_spark.operators.smoothing import gaussian_smooth
 
     pts = _event_points(spark, sf_dir).select(
@@ -486,7 +504,7 @@ def q_gaussian_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = gaussian_smooth(pts, sigma=1.5)
     return out.select(
-        "source", "doc_id", "ts", F.round("value_smooth", 6).alias("value_smooth")
+        "source", "doc_id", "ts", _rz(F.col("value_smooth"), 6).alias("value_smooth")
     )
 
 
@@ -568,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_stub": q_multimodal_decode_stub,
         "peakvalley": q_peakvalley,
         "harmonic_fit": q_harmonic_fit,
+        "harmonic_fitted": q_harmonic_fitted,
         "mogpr_fusion": q_mogpr_fusion,
         "bandmath_indices": q_bandmath_indices,
         "zscore_outliers": q_zscore_outliers,
@@ -924,6 +943,136 @@ FROM s
 QUALIFY rank <= 20
 """
 
+def _dot_terms(weights, offsets) -> str:
+    """SQL dot product of literal weights against per-row lag/lead columns:
+    offset 0 -> value, -k -> lm{k} (lag), +k -> lp{k} (lead). repr() of a
+    Python float round-trips, so both engines see bit-identical weights."""
+    terms = []
+    for w, d in zip(weights, offsets):
+        w = float(w)
+        if w == 0.0:
+            continue
+        col = "value" if d == 0 else (f"lm{-d}" if d < 0 else f"lp{d}")
+        terms.append(f"{w!r} * {col}")
+    return "(" + " + ".join(terms) + ")"
+
+
+_SMOOTH_SCAFFOLD = """
+WITH b AS (
+  SELECT event_type AS source, CAST(user_id AS VARCHAR) AS doc_id, ts, value,
+         row_number() OVER wo AS rn,
+         count(*) OVER wp AS n,
+{lag_cols}
+  FROM events
+  WINDOW wo AS (PARTITION BY event_type, user_id ORDER BY ts),
+         wp AS (PARTITION BY event_type, user_id)
+)
+SELECT source, doc_id, ts,
+       round(CASE
+{branches}
+             ELSE {interior}
+             END, 6) + 0.0 AS value_smooth
+FROM b
+"""
+
+
+def _smooth_scaffold(reach: int, branches: list[str], interior: str) -> str:
+    lag_cols = ",\n".join(
+        [f"         lag(value, {j}) OVER wo AS lm{j}" for j in range(1, reach + 1)]
+        + [f"         lead(value, {j}) OVER wo AS lp{j}" for j in range(1, reach + 1)]
+    )
+    return _SMOOTH_SCAFFOLD.format(
+        lag_cols=lag_cols,
+        branches="\n".join(f"             {b}" for b in branches),
+        interior=interior,
+    )
+
+
+def _savgol_oracle(window: int = 7, polyorder: int = 2) -> str:
+    """Savitzky-Golay as fixed linear combinations (the polyfit is linear in
+    y, so every output row is a literal-weight dot product): interior = the
+    savgol coefficient window; first/last k rows = rows of the 7-point
+    smoothing matrix; series shorter than the window = rows of the n-point
+    smoothing matrix (global polyfit). Mirrors operators/smoothing.py
+    savgol_1d exactly (same matrices feed both sides)."""
+    from fusets_spark.operators.smoothing import savgol_coeffs, savgol_matrix
+
+    k = window // 2
+    c = savgol_coeffs(window, polyorder)
+    S = savgol_matrix(window, polyorder)
+    branches = [f"WHEN n <= {polyorder} THEN value"]
+    for n in range(polyorder + 1, window):  # degenerate short series
+        Sn = savgol_matrix(n, polyorder)
+        for i in range(n):
+            branches.append(
+                f"WHEN n = {n} AND rn = {i + 1} THEN "
+                + _dot_terms(Sn[i], [u - i for u in range(n)])
+            )
+    for i in range(k):  # left edge (short-series rows already caught above)
+        branches.append(
+            f"WHEN rn = {i + 1} THEN "
+            + _dot_terms(S[i], [u - i for u in range(window)])
+        )
+    for i in range(k):  # right edge
+        row = window - 1 - i
+        branches.append(
+            f"WHEN n - rn = {i} THEN "
+            + _dot_terms(S[row], [u - row for u in range(window)])
+        )
+    interior = _dot_terms(c, [d - k for d in range(window)])
+    return _smooth_scaffold(window - 1, branches, interior)
+
+
+def _gaussian_oracle(sigma: float = 1.5, truncate: float = 4.0) -> str:
+    """Gaussian smoothing with reflect padding as fixed dot products: the
+    padding is folded into per-(edge-distance) literal weights
+    (smoothing.gaussian_fold_weights — the same fold the numpy kernel
+    implements via np.pad)."""
+    from fusets_spark.operators.smoothing import (
+        gaussian_fold_weights,
+        gaussian_kernel,
+    )
+
+    kern = gaussian_kernel(sigma, truncate)
+    r = len(kern) // 2
+    big = 4 * r + 8  # any n past both mirrors
+    branches = []
+    for n in range(1, r):  # short series: repeated-reflection fold, exact
+        for i in range(n):
+            branches.append(
+                f"WHEN n = {n} AND rn = {i + 1} THEN "
+                + _dot_terms(
+                    gaussian_fold_weights(i, n, kern), [u - i for u in range(n)]
+                )
+            )
+    for a in range(r):  # rows near BOTH ends (n <= 2r-1)
+        for b in range(r):
+            n = a + b + 1
+            if n < r:
+                continue
+            branches.append(
+                f"WHEN n = {n} AND rn = {a + 1} THEN "
+                + _dot_terms(
+                    gaussian_fold_weights(a, n, kern), [u - a for u in range(n)]
+                )
+            )
+    for a in range(r):  # pure left edge (right mirror out of reach)
+        w = gaussian_fold_weights(a, big, kern)
+        branches.append(
+            f"WHEN rn = {a + 1} THEN "
+            + _dot_terms(w[: a + r + 1], [u - a for u in range(a + r + 1)])
+        )
+    for b in range(r):  # pure right edge
+        i = big - 1 - b
+        w = gaussian_fold_weights(i, big, kern)
+        branches.append(
+            f"WHEN n - rn = {b} THEN "
+            + _dot_terms(w[i - r :], range(-r, b + 1))
+        )
+    interior = _dot_terms(kern, range(-r, r + 1))
+    return _smooth_scaffold(r, branches, interior)
+
+
 def _plane_values_sql(planes) -> str:
     """DuckDB VALUES rows `(table, plane, [literal doubles])` for the exact
     hyperplanes the Spark operators embed as plan literals (repr round-trips
@@ -1136,6 +1285,48 @@ FROM sh GROUP BY doc_id
 """
 
 
+_HARMONIC_FITTED_ORACLE = """
+WITH p AS (
+  SELECT event_type AS source, CAST(user_id AS VARCHAR) AS doc_id, ts,
+         value AS y,
+         (epoch_us(ts) // 1000000) / 86400.0 AS day
+  FROM events
+), t0 AS (
+  SELECT *, day - min(day) OVER w AS t, count(*) OVER w AS n
+  FROM p WINDOW w AS (PARTITION BY source, doc_id)
+), x AS (
+  SELECT source, doc_id, ts, y, t,
+         cos(2 * pi() * t / 365.25) AS xc,
+         sin(2 * pi() * t / 365.25) AS xs
+  FROM t0 WHERE n >= 4
+), g1 AS (  -- u1 = const; center the remaining columns against it
+  SELECT *, avg(y) OVER w AS f1,
+         t  - avg(t)  OVER w AS u2,
+         xc - avg(xc) OVER w AS c2,
+         xs - avg(xs) OVER w AS s2,
+         y  - avg(y)  OVER w AS y2
+  FROM x WINDOW w AS (PARTITION BY source, doc_id)
+), g2 AS (  -- remove the u2 (centered t) component
+  SELECT *,
+    c2 - sum(c2 * u2) OVER w / sum(u2 * u2) OVER w * u2 AS u3,
+    s2 - sum(s2 * u2) OVER w / sum(u2 * u2) OVER w * u2 AS s3,
+    y2 - sum(y2 * u2) OVER w / sum(u2 * u2) OVER w * u2 AS y3,
+    f1 + sum(y2 * u2) OVER w / sum(u2 * u2) OVER w * u2 AS f2
+  FROM g1 WINDOW w AS (PARTITION BY source, doc_id)
+), g3 AS (  -- remove the u3 (orthogonalized cos) component
+  SELECT *,
+    s3 - sum(s3 * u3) OVER w / sum(u3 * u3) OVER w * u3 AS u4,
+    y3 - sum(y3 * u3) OVER w / sum(u3 * u3) OVER w * u3 AS y4,
+    f2 + sum(y3 * u3) OVER w / sum(u3 * u3) OVER w * u3 AS f3
+  FROM g2 WINDOW w AS (PARTITION BY source, doc_id)
+)
+SELECT source, doc_id, ts,
+       round(f3 + sum(y4 * u4) OVER w / sum(u4 * u4) OVER w * u4, 6) + 0.0
+         AS yhat
+FROM g3 WINDOW w AS (PARTITION BY source, doc_id)
+"""
+
+
 _OUTLIER_REMOVAL_ORACLE = """
 WITH p AS (
   SELECT event_type AS source, user_id AS doc_id, ts, value FROM events
@@ -1179,6 +1370,8 @@ SELECT coalesce(c.doc_id, v.doc_id) AS doc_id,
 FROM c FULL OUTER JOIN v ON c.doc_id = v.doc_id AND c.ts = v.ts
 """,
         "remove_outliers_median": _OUTLIER_REMOVAL_ORACLE,
+        "savgol_smooth": _savgol_oracle(),
+        "gaussian_smooth": _gaussian_oracle(),
         "dedup_exact": """
 SELECT md5(text) AS digest,
        min(doc_id) AS keep_doc_id,
@@ -1231,6 +1424,7 @@ FROM events
 GROUP BY 1, 2, 3
 """,
         "phenometrics": _PHENO_ORACLE,
+        "harmonic_fitted": _HARMONIC_FITTED_ORACLE,
         "gorilla_roundtrip": """
 SELECT event_type AS source,
        CAST(user_id AS VARCHAR) AS doc_id,

@@ -75,3 +75,51 @@ def harmonic_fit(
         "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
     )
     return grouped.groupBy("source", "_g").applyInPandas(_fit, schema=schema)
+
+
+def harmonic_fitted(
+    df: DataFrame,
+    num_coefficients: int = 4,
+    groups_per_source: int = 64,
+) -> DataFrame:
+    """Per-point FITTED values ŷ = X(XᵀX)⁻¹Xᵀy of the harmonic OLS fit —
+    the verifiable face of harmonic_fit: fitted values are invariant to the
+    basis spanning the model space, so a SQL oracle can evaluate the same
+    projection through a stable orthogonalized basis and match to 6dp,
+    where raw normal-equation COEFFICIENTS of the near-collinear Fourier
+    design would not be comparable. Series with fewer than
+    num_coefficients observations are dropped (as in harmonic_fit)."""
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "ts"], kind="mergesort")
+        outs = []
+        for doc, g in pdf.groupby("doc_id", sort=False):
+            day = (g["ts"].astype("int64") // 10**9).to_numpy() / 86400.0
+            y = g["value"].to_numpy(np.float64)
+            ok = ~np.isnan(y)
+            if ok.sum() < num_coefficients:
+                continue
+            coef = fit_harmonics_series(day, y, num_coefficients)
+            X = design_matrix(day - day[ok][0], num_coefficients)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "source": g["source"].to_numpy(),
+                        "doc_id": doc,
+                        "ts": g["ts"].to_numpy(),
+                        "yhat": X @ coef,
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                columns=["source", "doc_id", "ts", "yhat"]
+            ).astype({"source": str, "doc_id": str, "yhat": np.float64})
+        return pd.concat(outs, ignore_index=True)
+
+    grouped = df.withColumn(
+        "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
+    )
+    return grouped.groupBy("source", "_g").applyInPandas(
+        _fit, schema="source string, doc_id string, ts timestamp, yhat double"
+    )

@@ -39,24 +39,31 @@ def savgol_coeffs(window: int, polyorder: int) -> np.ndarray:
     return (A @ ATA_inv)[:, 0]  # value at x=0 is the 0th poly coefficient
 
 
+def savgol_matrix(n: int, polyorder: int) -> np.ndarray:
+    """Least-squares smoothing (projection) matrix S = A (AᵀA)⁻¹ Aᵀ over
+    x = 0..n-1: Ŷ = S·y is the polyorder-degree polyfit evaluated at every
+    x. Row i is the fixed linear-combination weights producing out[i] — the
+    same literals the SQL oracle embeds."""
+    x = np.arange(n, dtype=np.float64)
+    A = np.vander(x, polyorder + 1, increasing=True)
+    return A @ np.linalg.inv(A.T @ A) @ A.T
+
+
 def savgol_1d(y: np.ndarray, window: int, polyorder: int) -> np.ndarray:
+    y = np.asarray(y, dtype=np.float64)
     n = len(y)
     if n < window:
         # degenerate: single global polynomial fit (scipy raises; we fit)
-        x = np.arange(n, dtype=np.float64)
         if n <= polyorder:
-            return y.astype(np.float64).copy()
-        c = np.polynomial.polynomial.polyfit(x, y, polyorder)
-        return np.polynomial.polynomial.polyval(x, c)
+            return y.copy()
+        return savgol_matrix(n, polyorder) @ y
     k = window // 2
     c = savgol_coeffs(window, polyorder)
     out = np.convolve(y, c[::-1], mode="same")
     # edges: polynomial fit to the first/last `window` samples (mode=interp)
-    x = np.arange(window, dtype=np.float64)
-    cl = np.polynomial.polynomial.polyfit(x, y[:window], polyorder)
-    out[:k] = np.polynomial.polynomial.polyval(x[:k], cl)
-    cr = np.polynomial.polynomial.polyfit(x, y[-window:], polyorder)
-    out[-k:] = np.polynomial.polynomial.polyval(x[-k:], cr)
+    S = savgol_matrix(window, polyorder)
+    out[:k] = S[:k] @ y[:window]
+    out[-k:] = S[-k:] @ y[-window:]
     return out
 
 
@@ -65,6 +72,25 @@ def gaussian_kernel(sigma: float, truncate: float = 4.0) -> np.ndarray:
     x = np.arange(-r, r + 1, dtype=np.float64)
     k = np.exp(-0.5 * (x / sigma) ** 2)
     return k / k.sum()
+
+
+def reflect_index(j: int, n: int) -> int:
+    """Symmetric-reflection index (np.pad mode='symmetric', edge sample
+    included, repeated reflection for pad > n): tile period is 2n."""
+    m = j % (2 * n)
+    return m if m < n else 2 * n - 1 - m
+
+
+def gaussian_fold_weights(i: int, n: int, kern: np.ndarray) -> np.ndarray:
+    """Per-position effective weights over the ORIGINAL samples after
+    folding the reflect padding into the kernel: out[i] = w·y with
+    w[u] = Σ_j kern[j-i+r] over all padded offsets j that reflect to u.
+    These are the literals the SQL oracle embeds for edge rows."""
+    r = len(kern) // 2
+    w = np.zeros(n)
+    for j in range(i - r, i + r + 1):
+        w[reflect_index(j, n)] += kern[j - i + r]
+    return w
 
 
 def gaussian_1d(y: np.ndarray, sigma: float, truncate: float = 4.0) -> np.ndarray:

@@ -7,10 +7,11 @@ exact resume; this module provides the alternative `readStream` shape for
 true streaming ingestion: tumbling-window aggregates with a watermark for
 late data, checkpointed by Spark's own offset log.
 
-Aggregate set matches the batch tiers (n_obs/sum/min/max/avg; first/last by
-unique key are not streaming-supported aggregates, so the streaming tier
-carries min/max of the order key instead — enough to reconstruct first/last
-with a second lookup, documented divergence)."""
+Aggregate set matches the batch tiers EXACTLY (n_obs/sum/min/max/avg +
+first/last): min_by/max_by are not streaming-supported, but
+min/max over struct(pos, value) is a streaming-legal commutative aggregate
+and pos is unique per series, so struct ordering == ordering by pos —
+first_val/last_val agree with the batch ladder bit-for-bit."""
 
 from __future__ import annotations
 
@@ -44,8 +45,10 @@ def stream_rollup_df(
             sum_expr.alias("sum_val"),
             F.min(v).alias("min_val"),
             F.max(v).alias("max_val"),
-            F.min("pos").alias("first_pos"),
-            F.max("pos").alias("last_pos"),
+            # streaming-legal first/last: pos is unique per series, so
+            # min/max of struct(pos, value) == argmin/argmax by pos
+            F.min(F.struct(F.col("pos"), v.alias("v"))).alias("_first"),
+            F.max(F.struct(F.col("pos"), v.alias("v"))).alias("_last"),
         )
     )
     return agg.select(
@@ -57,8 +60,8 @@ def stream_rollup_df(
         "min_val",
         "max_val",
         (F.col("sum_val").cast("double") / F.col("n_obs")).alias("avg_val"),
-        "first_pos",
-        "last_pos",
+        F.col("_first.v").alias("first_val"),
+        F.col("_last.v").alias("last_val"),
     )
 
 

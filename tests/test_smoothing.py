@@ -121,3 +121,40 @@ def test_phenometrics_all_methods_run(spark, method):
     pd.testing.assert_frame_equal(
         out.sort_index(axis=1), out2.sort_index(axis=1)
     )
+
+
+def test_gaussian_fold_weights_match_pad_convolve():
+    """The oracle's folded edge weights must reproduce the np.pad symmetric
+    + convolve kernel for every (n, i), including repeated reflection."""
+    from fusets_spark.operators.smoothing import (
+        gaussian_1d,
+        gaussian_fold_weights,
+        gaussian_kernel,
+    )
+
+    rng = np.random.default_rng(7)
+    kern = gaussian_kernel(1.5, 4.0)
+    for n in [1, 2, 3, 4, 5, 6, 7, 11, 12, 13, 20]:
+        y = rng.uniform(0.0, 100.0, n)
+        ref = gaussian_1d(y, 1.5)
+        via_weights = np.array(
+            [gaussian_fold_weights(i, n, kern) @ y for i in range(n)]
+        )
+        np.testing.assert_allclose(via_weights, ref, rtol=0, atol=1e-10)
+
+
+def test_savgol_matrix_edges_match_polyfit():
+    """savgol_matrix rows (the oracle literals) == explicit polyfit."""
+    from fusets_spark.operators.smoothing import savgol_1d, savgol_matrix
+
+    rng = np.random.default_rng(11)
+    for n in [3, 4, 5, 6, 7, 10]:
+        y = rng.uniform(0.0, 100.0, n)
+        out = savgol_1d(y, 7, 2)
+        if n < 7:
+            S = savgol_matrix(n, 2)
+            np.testing.assert_allclose(S @ y, out, atol=1e-10)
+        else:
+            S = savgol_matrix(7, 2)
+            np.testing.assert_allclose(S[:3] @ y[:7], out[:3], atol=1e-10)
+            np.testing.assert_allclose(S[4:] @ y[-7:], out[-3:], atol=1e-10)

@@ -40,18 +40,10 @@ def test_streaming_equals_batch_complete_mode(spark, tmp_path):
     )
     q.awaitTermination(120)
 
-    got = (
-        spark.table("t1m_stream")
-        .select("source", "doc_id", "bucket_ts", "n_obs", "sum_val",
-                "min_val", "max_val", "avg_val")
-        .toPandas()
-    )
-    want = (
-        rollup_from_raw(spark.read.parquet(src), "1m")
-        .select("source", "doc_id", "bucket_ts", "n_obs", "sum_val",
-                "min_val", "max_val", "avg_val")
-        .toPandas()
-    )
+    cols = ["source", "doc_id", "bucket_ts", "n_obs", "sum_val",
+            "min_val", "max_val", "first_val", "last_val", "avg_val"]
+    got = spark.table("t1m_stream").select(*cols).toPandas()
+    want = rollup_from_raw(spark.read.parquet(src), "1m").select(*cols).toPandas()
     key = ["source", "doc_id", "bucket_ts"]
     got = got.sort_values(key).reset_index(drop=True)
     want = want.sort_values(key).reset_index(drop=True)
