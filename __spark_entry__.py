@@ -327,6 +327,23 @@ def q_harmonic_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ccdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCDC change detection recast for generic series (reference
+    ccdc.py:7-115; the reference wraps lcmap-pyccd and skips its own test)
+    — sequential harmonic segmentation, rows-only; step-change goldens in
+    tests/test_kernels.py."""
+    from fusets_spark.operators.ccdc import ccdc_segments
+
+    pts = _event_points(spark, sf_dir).select(
+        "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
+    )
+    out = ccdc_segments(pts, num_coefficients=4, min_obs=8)
+    return out.select(
+        "source", "doc_id", "segment", "start_day", "end_day", "break_day",
+        "n_obs",
+    )
+
+
 def q_mogpr_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOGPR-recast multi-signal fusion (reference mogpr.py:139-221) with
     fixed hyperparameters — rows-only; shape contract + determinism pinned
@@ -587,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peakvalley": q_peakvalley,
         "harmonic_fit": q_harmonic_fit,
         "harmonic_fitted": q_harmonic_fitted,
+        "ccdc_segments": q_ccdc_segments,
         "mogpr_fusion": q_mogpr_fusion,
         "bandmath_indices": q_bandmath_indices,
         "zscore_outliers": q_zscore_outliers,

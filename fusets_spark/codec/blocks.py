@@ -42,7 +42,7 @@ def encode_blocks(
     points: DataFrame,
     block_seconds: int = 3600,
     value_col: str = "value",
-    groups_per_source: int = 256,
+    groups_per_source: int | None = None,
 ) -> DataFrame:
     """Compress raw points into per-(series, bucket) Gorilla blocks.
 
@@ -80,6 +80,11 @@ def encode_blocks(
             }
         )
 
+    from ..session import default_groups
+
+    groups_per_source = groups_per_source or default_groups(
+        points, minimum=256, per_core=8
+    )
     grouped = points.withColumn(
         "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
     )

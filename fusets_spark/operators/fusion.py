@@ -182,7 +182,7 @@ def mogpr_fuse(
     noise: float = 0.05,
     rho: float = 0.7,
     prediction_period_days: float | None = None,
-    groups: int = 64,
+    groups: int | None = None,
 ) -> DataFrame:
     """Distributed fusion over long rows (doc_id, source, ts, value) —
     source = signal name (the reference's band/variable). Output grid per
@@ -232,5 +232,8 @@ def mogpr_fuse(
             )
         return pd.concat(outs, ignore_index=True)
 
+    from ..session import default_groups
+
+    groups = groups or default_groups(df)
     grouped = df.withColumn("_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups)))
     return grouped.groupBy("_g").applyInPandas(_fuse, schema=FUSED_SCHEMA)

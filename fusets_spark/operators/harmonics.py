@@ -45,7 +45,7 @@ def fit_harmonics_series(
 def harmonic_fit(
     df: DataFrame,
     num_coefficients: int = 4,
-    groups_per_source: int = 64,
+    groups_per_source: int | None = None,
 ) -> DataFrame:
     """Per-series harmonic coefficients over (source, doc_id, ts, value).
 
@@ -71,6 +71,9 @@ def harmonic_fit(
             + [f"c{i}" for i in range(num_coefficients)],
         )
 
+    from ..session import default_groups
+
+    groups_per_source = groups_per_source or default_groups(df)
     grouped = df.withColumn(
         "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
     )
@@ -80,7 +83,7 @@ def harmonic_fit(
 def harmonic_fitted(
     df: DataFrame,
     num_coefficients: int = 4,
-    groups_per_source: int = 64,
+    groups_per_source: int | None = None,
 ) -> DataFrame:
     """Per-point FITTED values ŷ = X(XᵀX)⁻¹Xᵀy of the harmonic OLS fit —
     the verifiable face of harmonic_fit: fitted values are invariant to the
@@ -117,6 +120,9 @@ def harmonic_fitted(
             ).astype({"source": str, "doc_id": str, "yhat": np.float64})
         return pd.concat(outs, ignore_index=True)
 
+    from ..session import default_groups
+
+    groups_per_source = groups_per_source or default_groups(df)
     grouped = df.withColumn(
         "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
     )

@@ -75,7 +75,7 @@ def num_seasons_series(y: np.ndarray) -> int:
     return len(select_by_distance(pk, y[pk], distance))
 
 
-def num_seasons(df: DataFrame, groups_per_source: int = 64) -> DataFrame:
+def num_seasons(df: DataFrame, groups_per_source: int | None = None) -> DataFrame:
     """Per-series season count over (source, doc_id, ts, value)."""
 
     def _run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -87,6 +87,9 @@ def num_seasons(df: DataFrame, groups_per_source: int = 64) -> DataFrame:
         ]
         return pd.DataFrame(rows, columns=["source", "doc_id", "num_seasons"])
 
+    from ..session import default_groups
+
+    groups_per_source = groups_per_source or default_groups(df)
     grouped = df.withColumn(
         "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
     )
@@ -198,7 +201,7 @@ def peakvalley(
     drop_thr: float = 0.15,
     rec_r: float = 1.0,
     slope_thr: float = -0.007,
-    groups_per_source: int = 64,
+    groups_per_source: int | None = None,
 ) -> DataFrame:
     """Distributed peak/valley mask over (source, doc_id, ts, value) rows."""
 
@@ -222,6 +225,9 @@ def peakvalley(
             )
         return pd.concat(out, ignore_index=True)
 
+    from ..session import default_groups
+
+    groups_per_source = groups_per_source or default_groups(df)
     grouped = df.withColumn(
         "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
     )

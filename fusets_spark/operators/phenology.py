@@ -9,8 +9,8 @@ Per series (one season per series, like the reference's per-pixel cubes):
   MOS       mean of values ≥ 0.8·max on each slope (_phenolopy.py:1072-1124)
   AOS       pos − base (base_metric 'bse' default, as phenology();
             _phenolopy.py:1226-1265)
-  SOS/EOS   5 of the reference's 6 TIMESAT methods (_phenolopy.py:1268-1593
-            and 1596-1921) — stl_trend omitted (needs statsmodels):
+  SOS/EOS   all 6 of the reference's TIMESAT methods (_phenolopy.py:1268-1593
+            and 1596-1921):
             candidates are the POSITIVE-gradient subset of the left slope
             (negative for EOS right slope), where the gradient is the
             central difference over the slope-masked series (xarray
@@ -24,6 +24,10 @@ Per series (one season per series, like the reference's per-pixel cubes):
               relative_value    argmin |v − (q10 + factor·(q90 − q10))|
                                 (exact interpolated quantiles of the full
                                 series, _phenolopy.py:1482-1485)
+              stl_trend         argmin |v − trend(t)| per ROW, trend = STL
+                                trend component (smoothing.loess_trend —
+                                single-cycle STL degenerates to its trend
+                                LOESS, _phenolopy.py:1510-1593)
   LOS       eos_doy − sos_doy, +365 wrap (_phenolopy.py:1924-1978)
   ROI/ROD   rates of increase/decrease (_phenolopy.py:1981-2078)
   LIOS/LIOT trapezoidal integrals, day spacing (_phenolopy.py:2081-2314)
@@ -52,6 +56,7 @@ METHODS = (
     "seasonal_amplitude",
     "absolute_value",
     "relative_value",
+    "stl_trend",
 )
 
 
@@ -167,6 +172,29 @@ def phenometrics(
     )
 
     # --- stage 3: method target + argmin over candidates
+    if method == "stl_trend":
+        # per-ROW target: |v − STL trend| at the same time index (reference
+        # _phenolopy.py:1510-1593); trend = LOESS kernel (see
+        # smoothing.loess_trend for the single-cycle degeneration argument)
+        from .smoothing import stl_trend_col
+
+        trend = stl_trend_col(
+            df.select(
+                "source",
+                F.col("doc_id").cast("string").alias("doc_id"),
+                "ts",
+                v.alias("value"),
+            )
+        )
+        cand = ann.withColumn("_sdoc", F.col("doc_id").cast("string")).join(
+            trend.select(
+                "source", F.col("doc_id").alias("_sdoc"), "ts", "trend"
+            ),
+            ["source", "_sdoc", "ts"],
+        ).drop("_sdoc")
+        dist_l = F.abs(v - F.col("trend"))
+        dist_r = F.abs(v - F.col("trend"))
+        return _finish(ann, scalars, cand, dist_l, dist_r, v)
     if method == "seasonal_amplitude":
         base = F.col("_min_l") if thresh_sides == "one_sided" else F.col("bse_value")
         base_r = F.col("_min_r") if thresh_sides == "one_sided" else F.col("bse_value")
@@ -188,6 +216,19 @@ def phenometrics(
     else:
         dist_l = F.abs(v - F.col("_t_l"))
         dist_r = F.abs(v - F.col("_t_r"))
+    return _finish(ann, scalars, cand, dist_l, dist_r, v)
+
+
+def _finish(
+    ann: DataFrame,
+    scalars: DataFrame,
+    cand: DataFrame,
+    dist_l: Column,
+    dist_r: Column,
+    v: Column,
+) -> DataFrame:
+    """Stages 3b-4, shared by all SOS/EOS methods: argmin over candidate
+    rows, LOS/ROI/ROD scalars, in-season integrals (lios/sios)."""
 
     def _argmin(side: str, dist: Column) -> Column:
         return F.min_by(

@@ -104,6 +104,56 @@ def gaussian_1d(y: np.ndarray, sigma: float, truncate: float = 4.0) -> np.ndarra
     return np.convolve(yp, k[::-1], mode="valid")
 
 
+def loess_trend(y: np.ndarray, seasonal: int = 7) -> np.ndarray:
+    """STL trend component for the reference's stl_trend SOS/EOS method
+    (reference _phenolopy.py:1510-1593): the reference calls statsmodels
+    STL with period = len(series) (+1 if even) and seasonal=7. With a
+    single cycle the seasonal component is unidentifiable (every cycle
+    subseries has one sample), so STL degenerates to its TREND smoother —
+    degree-1 LOESS with tricube weights and the STL default trend window
+    (smallest odd integer ≥ 1.5·period/(1 − 1.5/seasonal)), which we
+    implement directly in numpy (no statsmodels in this container).
+    Exactly reproduces linear series (weighted linear fit)."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    if n <= 2:
+        return y.copy()
+    period = n if n % 2 == 1 else n + 1
+    window = int(np.ceil(1.5 * period / (1 - 1.5 / seasonal)))
+    if window % 2 == 0:
+        window += 1
+    x = np.arange(n, dtype=np.float64)
+    out = np.empty(n)
+    for i in range(n):
+        d = np.abs(x - x[i])
+        q = min(window, n)
+        dq = np.partition(d, q - 1)[q - 1]
+        if window > n:  # lowess extension for span > data (Cleveland)
+            dq *= window / n
+        w = (1.0 - np.clip(d / max(dq, 1e-12), 0.0, 1.0) ** 3) ** 3
+        sw = w.sum()
+        sx = (w * x).sum()
+        sy = (w * y).sum()
+        sxx = (w * x * x).sum()
+        sxy = (w * x * y).sum()
+        det = sw * sxx - sx * sx
+        if det <= 1e-12 * sw * sxx:
+            out[i] = sy / sw
+        else:
+            b = (sw * sxy - sx * sy) / det
+            a = (sy - b * sx) / sw
+            out[i] = a + b * x[i]
+    return out
+
+
+def stl_trend_col(df: DataFrame, groups_per_source: int | None = None) -> DataFrame:
+    """Per-row LOESS/STL trend over (source, doc_id, ts, value) — the
+    per-row target curve for phenometrics(method='stl_trend'). Output
+    (source string, doc_id string, ts, trend)."""
+    out = _per_series(df, loess_trend, groups_per_source)
+    return out.withColumnRenamed("value_smooth", "trend")
+
+
 def _per_series(df: DataFrame, fn, groups_per_source: int) -> DataFrame:
     def _run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["doc_id", "ts"], kind="mergesort")
@@ -121,6 +171,9 @@ def _per_series(df: DataFrame, fn, groups_per_source: int) -> DataFrame:
             )
         return pd.concat(outs, ignore_index=True)
 
+    from ..session import default_groups
+
+    groups_per_source = groups_per_source or default_groups(df)
     grouped = df.withColumn(
         "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
     )
@@ -129,7 +182,7 @@ def _per_series(df: DataFrame, fn, groups_per_source: int) -> DataFrame:
 
 def savgol_smooth(
     df: DataFrame, window: int = 7, polyorder: int = 2,
-    groups_per_source: int = 64,
+    groups_per_source: int | None = None,
 ) -> DataFrame:
     return _per_series(
         df, lambda y: savgol_1d(y, window, polyorder), groups_per_source
@@ -137,6 +190,6 @@ def savgol_smooth(
 
 
 def gaussian_smooth(
-    df: DataFrame, sigma: float = 1.5, groups_per_source: int = 64
+    df: DataFrame, sigma: float = 1.5, groups_per_source: int | None = None
 ) -> DataFrame:
     return _per_series(df, lambda y: gaussian_1d(y, sigma), groups_per_source)

@@ -158,7 +158,7 @@ def whittaker_gapfill(
     lmbd: float = 10000.0,
     grid_seconds: int = 86400,
     sample_every: int | None = None,
-    groups_per_source: int = 64,
+    groups_per_source: int | None = None,
     max_grid: int = 100_000,
 ) -> DataFrame:
     """Distributed gap-fill: dense-grid Whittaker smoothing per series.
@@ -216,6 +216,9 @@ def whittaker_gapfill(
             )
         return pd.concat(out_frames, ignore_index=True)
 
+    from ..session import default_groups
+
+    groups_per_source = groups_per_source or default_groups(points)
     grouped = points.withColumn(
         "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
     )

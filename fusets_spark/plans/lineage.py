@@ -89,17 +89,38 @@ class TierStore:
 
     # --- watermarks
     def watermark(self, tier: str) -> str | None:
+        """Last committed batch id (display/metrics only — resume decisions
+        use set membership via is_committed, never id ordering: string
+        comparison would mis-order non-zero-padded ids like batch-10 <
+        batch-9 and skip or reprocess batches)."""
         p = self._wm_path(tier)
         if not os.path.exists(p):
             return None
         with open(p) as f:
             return json.load(f)["batch_id"]
 
+    def committed(self, tier: str) -> set[str]:
+        """Exact set of committed batch ids for the tier."""
+        p = self._wm_path(tier)
+        if not os.path.exists(p):
+            return set()
+        with open(p) as f:
+            d = json.load(f)
+        return set(d.get("committed", [d["batch_id"]] if "batch_id" in d else []))
+
+    def is_committed(self, tier: str, batch_id: str) -> bool:
+        return batch_id in self.committed(tier)
+
     def commit_watermark(self, tier: str, batch_id: str) -> None:
+        done = self.committed(tier)
+        done.add(batch_id)
         p = self._wm_path(tier)
         fd, tmp = tempfile.mkstemp(dir=os.path.dirname(p))
         with os.fdopen(fd, "w") as f:
-            json.dump({"batch_id": batch_id, "tier": tier}, f)
+            json.dump(
+                {"batch_id": batch_id, "tier": tier, "committed": sorted(done)},
+                f,
+            )
         os.replace(tmp, p)  # atomic on POSIX
 
     # --- batch commit

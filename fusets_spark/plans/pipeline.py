@@ -11,8 +11,10 @@ Deployment shape (cluster): `spark-submit --py-files fusets_spark.zip
 -m fusets_spark.plans.pipeline <input> <store>` against Iceberg; batches =
 Iceberg snapshot ranges. Here batches are parquet subdirectories.
 
-Ordering: batches are processed in sorted batch_id order; the watermark
-records the highest CONTIGUOUSLY completed batch.
+Ordering: batches are processed in sorted batch_id order for determinism,
+but commit/resume decisions use SET MEMBERSHIP of committed batch ids
+(never id ordering — non-zero-padded ids like 'batch-10' < 'batch-9' would
+otherwise skip uncommitted batches or reprocess committed ones).
 """
 
 from __future__ import annotations
@@ -66,9 +68,7 @@ class RollupPipeline:
         simulates an executor/driver loss mid-commit (for the resume test):
         the stage's data+manifest are written but the watermark is NOT."""
         for stage in STAGES:
-            if self.store.watermark(stage) is not None and (
-                self.store.watermark(stage) >= batch_id
-            ):
+            if self.store.is_committed(stage, batch_id):
                 continue  # already committed (resume path)
             self.store.write_batch(
                 self._stage_df(tokens, stage), stage, batch_id, self.cfg_hash
@@ -86,14 +86,8 @@ class RollupPipeline:
         """Process pending batches in order, skipping committed ones.
         fail_at = (batch_id, stage) simulated crash point."""
         for batch_id in sorted(batches):
-            wm = self.store.watermark(STAGES[-1])
-            if wm is not None and wm >= batch_id:
-                # every stage's watermark moves in lockstep; last stage
-                # committed means the whole batch is committed
-                if all(
-                    (self.store.watermark(s) or "") >= batch_id for s in STAGES
-                ):
-                    continue
+            if all(self.store.is_committed(s, batch_id) for s in STAGES):
+                continue
             fail_stage = fail_at[1] if fail_at and fail_at[0] == batch_id else None
             self.process_batch(batches[batch_id], batch_id, fail_stage)
 

@@ -38,6 +38,19 @@ def ship_package(spark: SparkSession) -> None:
     _SHIPPED.add(key)
 
 
+def default_groups(
+    df, minimum: int = 64, per_core: int = 4
+) -> int:
+    """Task granularity for hash-bucketed applyInPandas kernels: enough
+    buckets to keep every core of a real cluster busy with headroom for
+    stragglers (defaultParallelism × per_core), floored at `minimum` so
+    small local sessions still amortize per-group Arrow overhead. Kernel
+    results are grouping-independent by construction (each series lives in
+    exactly one bucket), pinned by the cross-partitioning parity tests."""
+    sc = df.sparkSession.sparkContext
+    return max(minimum, sc.defaultParallelism * per_core)
+
+
 def get_spark(
     app_name: str = "fusets-spark",
     cores: int | None = None,

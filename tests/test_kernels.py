@@ -147,3 +147,48 @@ def test_fusion_spark_shape_contract(spark):
     a = got.sort_values(key).reset_index(drop=True)
     b = again.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ccdc_detects_step_change():
+    """A clean level shift must yield exactly two segments with the break
+    at the first post-shift observation; an unbroken harmonic yields one."""
+    from fusets_spark.operators.ccdc import detect_segments
+
+    t = np.arange(40, dtype=np.float64)
+    y = np.where(t < 20, 10.0, 100.0)
+    segs = detect_segments(t, y, num_coefficients=4, min_obs=8, peek=3)
+    assert len(segs) == 2
+    assert segs[0][2] == 20.0  # break_day = first changed observation
+    assert segs[0][3] == 20 and segs[1][3] == 20
+    assert segs[1][2] is None
+
+    y2 = 50 + 5 * np.sin(2 * np.pi * t / 365.25) + 0.1 * t
+    segs2 = detect_segments(t, y2, num_coefficients=4, min_obs=8, peek=3)
+    assert len(segs2) == 1 and segs2[0][2] is None
+
+
+def test_ccdc_segments_spark_partition_invariant(spark):
+    """Segment output is identical under any repartitioning."""
+    from fusets_spark.operators.ccdc import ccdc_segments
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for d in range(6):
+        shift = 60.0 if d % 2 else 0.0
+        for i in range(30):
+            v = (20.0 if i < 15 else 20.0 + shift) + rng.normal(0, 0.5)
+            rows.append(
+                ("s", f"doc{d}",
+                 pd.Timestamp("2024-01-01") + pd.Timedelta(days=i), v)
+            )
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "ts", "value"])
+    df = spark.createDataFrame(pdf)
+    a = ccdc_segments(df).toPandas().sort_values(
+        ["doc_id", "segment"]).reset_index(drop=True)
+    b = ccdc_segments(df.repartition(7)).toPandas().sort_values(
+        ["doc_id", "segment"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # shifted docs broke, unshifted did not
+    n_seg = a.groupby("doc_id")["segment"].count()
+    assert (n_seg[[f"doc{d}" for d in (1, 3, 5)]] >= 2).all()
+    assert (n_seg[[f"doc{d}" for d in (0, 2, 4)]] == 1).all()

@@ -80,6 +80,8 @@ def test_partition_pruning_on_source(spark, batches, tmp_path):
 
 
 def test_rerun_is_idempotent(spark, batches, tmp_path):
+    import os
+
     root = str(tmp_path / "idem")
     pipe = RollupPipeline(root)
     pipe.run(spark, batches)
@@ -87,13 +89,32 @@ def test_rerun_is_idempotent(spark, batches, tmp_path):
         s: {m.batch_id: m.content_hash for m in pipe.store.manifests(s)}
         for s in STAGES
     }
-    # force reprocessing of the last batch by clearing its watermark
+    # force FULL reprocessing by dropping every watermark (commit state),
+    # leaving data + manifests in place
     for s in STAGES:
-        pipe.store.commit_watermark(s, "b001")
+        os.remove(pipe.store._wm_path(s))
     pipe.run(spark, batches)
     after = {
         s: {m.batch_id: m.content_hash for m in pipe.store.manifests(s)}
         for s in STAGES
     }
     assert before == after
+    shutil.rmtree(root)
+
+
+def test_resume_with_non_padded_batch_ids(spark, tmp_path):
+    """Commit state is a SET of batch ids, not a string-ordered watermark:
+    lexicographically 'batch-10' < 'batch-9', so ordering-based resume
+    would silently SKIP batch-10 after committing batch-9."""
+    root = str(tmp_path / "pad")
+    b9 = generate_tokens(spark, 20, seed=9, min_tok=32, max_tok=64)
+    b10 = generate_tokens(spark, 20, seed=10, min_tok=32, max_tok=64)
+    pipe = RollupPipeline(root)
+    pipe.run(spark, {"batch-9": b9})
+    assert pipe.store.is_committed("1m", "batch-9")
+    assert not pipe.store.is_committed("1m", "batch-10")
+    pipe.run(spark, {"batch-9": b9, "batch-10": b10})
+    for s in STAGES:
+        got = {m.batch_id for m in pipe.store.manifests(s)}
+        assert got == {"batch-9", "batch-10"}, (s, got)
     shutil.rmtree(root)

@@ -94,7 +94,7 @@ def test_savgol_spark_matches_local(spark):
 
 @pytest.mark.parametrize(
     "method", ["first_of_slope", "median_of_slope", "seasonal_amplitude",
-               "absolute_value", "relative_value"]
+               "absolute_value", "relative_value", "stl_trend"]
 )
 def test_phenometrics_all_methods_run(spark, method):
     from fusets_spark.operators.phenology import phenometrics
@@ -158,3 +158,18 @@ def test_savgol_matrix_edges_match_polyfit():
             S = savgol_matrix(7, 2)
             np.testing.assert_allclose(S[:3] @ y[:7], out[:3], atol=1e-10)
             np.testing.assert_allclose(S[4:] @ y[-7:], out[-3:], atol=1e-10)
+
+
+def test_loess_trend_reproduces_linear_exactly():
+    """Degree-1 LOESS reproduces linear series exactly (any weighting) and
+    preserves constants; trend of a noisy line stays within the noise."""
+    from fusets_spark.operators.smoothing import loess_trend
+
+    x = np.arange(25, dtype=np.float64)
+    np.testing.assert_allclose(loess_trend(2.5 * x + 1.0), 2.5 * x + 1.0,
+                               atol=1e-8)
+    np.testing.assert_allclose(loess_trend(np.full(10, 7.0)), 7.0, atol=1e-10)
+    rng = np.random.default_rng(3)
+    y = 0.5 * x + rng.normal(0, 0.1, len(x))
+    t = loess_trend(y)
+    assert np.abs(t - 0.5 * x).max() < 0.5
