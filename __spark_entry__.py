@@ -415,6 +415,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters + survivor selection: MinHash-LSH candidate pairs
+    -> connected components (iterative min-label propagation) -> keep the
+    min doc per cluster. Oracle = recursive-CTE transitive closure over the
+    identical pair set."""
+    from fusets_spark.operators.dedup import minhash_lsh_pairs, neardup_components
+
+    docs = _t(spark, sf_dir, "documents")
+    return neardup_components(docs, minhash_lsh_pairs(docs))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fusets_spark.operators.similarity import cosine_topk
 
@@ -570,6 +581,50 @@ def q_merge_cubes_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic (x, y) grid derived from the events table: cell value =
+# avg(value) of the users hashing to the cell. Mirrorable 1:1 in SQL.
+_GRID_W, _GRID_H = 25, 30
+# pentagon with no horizontal edges (division guard in the crossing test)
+_POLY = [(2.0, 1.0), (22.0, 4.0), (18.0, 27.0), (7.0, 25.0), (1.0, 12.0)]
+
+
+def _grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.pmod("user_id", F.lit(_GRID_W)).alias("x"),
+            F.pmod(F.floor(F.col("user_id") / _GRID_W), F.lit(_GRID_H)).alias(
+                "y"
+            ),
+            "value",
+        )
+        .groupBy("x", "y")
+        .agg(F.avg("value").alias("value"))
+    )
+
+
+def q_focal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 NaN-aware focal mean/std (reference
+    improved_s1_ndvi_fusion_v2.py:46-97) over the derived cell grid."""
+    from fusets_spark.operators.spatial import focal_stats
+
+    out = focal_stats(_grid(spark, sf_dir), radius=1)
+    return out.select(
+        "x", "y", "n_nbr",
+        F.round("f_mean", 6).alias("f_mean"),
+        F.round("f_std", 6).alias("f_std"),
+    )
+
+
+def q_polygon_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """openEO mask_polygon (reference publish_mogpr_s1_s2.py:86,122,138,170)
+    as native ray casting over literal vertices."""
+    from fusets_spark.operators.spatial import polygon_mask
+
+    out = polygon_mask(_grid(spark, sf_dir), _POLY)
+    return out.select("x", "y", F.round("value", 6).alias("cell_value"))
+
+
 def q_rollup_1m_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase SALTED rollup (north rule's hot-key skew defense):
     identical oracle as rollup_1m — the salt must not change one value."""
@@ -584,6 +639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m_salted": q_rollup_1m_salted,
         "merge_cubes_outer": q_merge_cubes_outer,
+        "focal_stats": q_focal_stats,
+        "polygon_mask": q_polygon_mask,
         "num_seasons": q_num_seasons,
         "remove_outliers_median": q_remove_outliers_median,
         "savgol_smooth": q_savgol_smooth,
@@ -592,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -877,6 +935,30 @@ FROM bands a
 JOIN bands b ON a.bkey = b.bkey AND a.band_no = b.band_no
             AND a.doc_id < b.doc_id
 """
+
+def _components_oracle() -> str:
+    """Transitive closure of the MinHash-LSH pair set via a recursive CTE
+    (label = any reachable doc id; component = min) — the exact fixpoint the
+    Spark min-label propagation converges to."""
+    cte, final_select = _MINHASH_ORACLE.rsplit("SELECT DISTINCT", 1)
+    return (
+        cte.rstrip().replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+        + ", pairs AS (\nSELECT DISTINCT"
+        + final_select.rstrip()
+        + "\n), e AS (\n"
+        + "  SELECT doc_a AS a, doc_b AS b FROM pairs\n"
+        + "  UNION\n"
+        + "  SELECT doc_b, doc_a FROM pairs\n"
+        + "), reach(doc, label) AS (\n"
+        + "  SELECT doc_id, doc_id FROM documents\n"
+        + "  UNION\n"
+        + "  SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.doc\n"
+        + ")\n"
+        + "SELECT doc AS doc_id, min(label) AS component,\n"
+        + "       (doc = min(label)) AS is_survivor\n"
+        + "FROM reach GROUP BY doc\n"
+    )
+
 
 _SIMHASH_ORACLE = """
 WITH w AS (
@@ -1303,6 +1385,61 @@ FROM sh GROUP BY doc_id
 """
 
 
+_GRID_SQL = f"""
+  SELECT user_id % {_GRID_W} AS x,
+         (user_id // {_GRID_W}) % {_GRID_H} AS y,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+"""
+
+_FOCAL_ORACLE = f"""
+WITH cell AS ({_GRID_SQL}),
+contrib AS (
+  SELECT cell.x + o.dx AS x, cell.y + o.dy AS y, cell.value AS v
+  FROM cell CROSS JOIN (
+    SELECT a.dx, b.dy
+    FROM (SELECT unnest([-1, 0, 1]) AS dx) a
+    CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) b
+  ) o
+), stats AS (
+  SELECT x, y, count(v) AS n_nbr, sum(v) AS s, sum(v * v) AS sq
+  FROM contrib GROUP BY 1, 2
+)
+SELECT st.x, st.y, st.n_nbr,
+       round(st.s / st.n_nbr, 6) AS f_mean,
+       round(sqrt(greatest(st.sq / st.n_nbr
+                           - (st.s / st.n_nbr) * (st.s / st.n_nbr), 0.0)), 6)
+         AS f_std
+FROM stats st
+WHERE EXISTS (SELECT 1 FROM cell c WHERE c.x = st.x AND c.y = st.y)
+"""
+
+
+def _polygon_oracle() -> str:
+    """Ray casting with the SAME literal vertices as the Spark plan."""
+    n = len(_POLY)
+    rows = []
+    for i in range(n):
+        x1, y1 = _POLY[i]
+        x2, y2 = _POLY[(i + 1) % n]
+        rows.append(f"({x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    vals = ",\n    ".join(rows)
+    return f"""
+WITH cell AS ({_GRID_SQL}),
+e(x1, y1, x2, y2) AS (VALUES
+    {vals}
+)
+SELECT x, y, round(value, 6) AS cell_value
+FROM cell
+WHERE (
+  SELECT sum(CASE WHEN ((y1 > cell.y) != (y2 > cell.y))
+                   AND cell.x < (x2 - x1) * (cell.y - y1) / (y2 - y1) + x1
+             THEN 1 ELSE 0 END)
+  FROM e
+) % 2 = 1
+"""
+
+
 _HARMONIC_FITTED_ORACLE = """
 WITH p AS (
   SELECT event_type AS source, CAST(user_id AS VARCHAR) AS doc_id, ts,
@@ -1388,6 +1525,8 @@ SELECT coalesce(c.doc_id, v.doc_id) AS doc_id,
 FROM c FULL OUTER JOIN v ON c.doc_id = v.doc_id AND c.ts = v.ts
 """,
         "remove_outliers_median": _OUTLIER_REMOVAL_ORACLE,
+        "focal_stats": _FOCAL_ORACLE,
+        "polygon_mask": _polygon_oracle(),
         "savgol_smooth": _savgol_oracle(),
         "gaussian_smooth": _gaussian_oracle(),
         "dedup_exact": """
@@ -1399,6 +1538,7 @@ FROM documents GROUP BY 1
         "dedup_minhash_lsh": _MINHASH_ORACLE,
         "dedup_simhash": _SIMHASH_ORACLE,
         "dedup_ngram_jaccard": _JACCARD_ORACLE,
+        "dedup_components": _components_oracle(),
         "cosine_topk": _COSINE_ORACLE,
         "ann_lsh_topk": _ann_oracle(),
         "embedding_neardup": _neardup_oracle(),

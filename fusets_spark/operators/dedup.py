@@ -152,6 +152,62 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     return docs.select("doc_id", sim.alias("simhash"))
 
 
+def neardup_components(
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs + survivor
+    selection — the step that turns PAIRS into a usable dedup at corpus
+    scale (transitive closure: a~b, b~c ⇒ one cluster, keep one doc).
+
+    Iterative min-label propagation (the GraphX-free CC standard for
+    web-scale dedup): every doc starts labeled with itself; each round
+    pushes labels across edges and keeps the per-doc min; converges in
+    graph-diameter rounds (near-dup clusters are shallow), each round one
+    bounded equi-join + partial-agg groupBy. localCheckpoint() truncates
+    the iterative lineage so the plan does not grow per round. Docs with no
+    candidate pair are singleton components.
+
+    Output: (doc_id, component, is_survivor) with component = min doc_id of
+    the cluster, survivor = the min doc itself."""
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = docs.select(F.col("doc_id").alias("doc")).withColumn(
+        "label", F.col("doc")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["a"] == labels["doc"]).select(
+            F.col("b").alias("doc"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "doc"
+            )
+            .filter(F.col("label") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc").alias("doc_id"),
+        F.col("label").alias("component"),
+        (F.col("doc") == F.col("label")).alias("is_survivor"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     shingle_words: int = 3,

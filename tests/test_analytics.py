@@ -190,3 +190,35 @@ def test_phenometrics_vs_numpy_oracle(spark):
     # season length + rates are consistent
     assert got["los_value"] == got["eos_doy"] - got["sos_doy"]
     assert got["lios_value"] <= got["liot_value"]
+
+
+def test_focal_stats_constant_grid(spark):
+    """Full 5x4 constant grid: interior cells see 9 neighbors, corners 4,
+    mean == the constant, std == 0."""
+    from fusets_spark.operators.spatial import focal_stats
+
+    rows = [(x, y, 7.5) for x in range(5) for y in range(4)]
+    grid = spark.createDataFrame(rows, "x long, y long, value double")
+    out = focal_stats(grid).toPandas().set_index(["x", "y"])
+    assert out.loc[(2, 2), "n_nbr"] == 9
+    assert out.loc[(0, 0), "n_nbr"] == 4
+    assert out.loc[(0, 2), "n_nbr"] == 6
+    assert (out["f_mean"] == 7.5).all()
+    assert (out["f_std"].abs() < 1e-9).all()
+    assert len(out) == 20  # output domain == input cells
+
+
+def test_polygon_mask_known_points(spark):
+    """Unit square-ish quadrilateral (no horizontal edges): inside/outside
+    points classified correctly, boundary-adjacent exteriors excluded."""
+    from fusets_spark.operators.spatial import polygon_mask
+
+    poly = [(0.0, 0.0), (10.0, 1.0), (9.0, 11.0), (-1.0, 10.0)]
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 50.0, 5.0), (3, -5.0, -5.0), (4, 0.5, 1.0)],
+        "id long, x double, y double",
+    )
+    got = sorted(
+        polygon_mask(pts, poly).toPandas()["id"].tolist()
+    )
+    assert got == [1, 4]

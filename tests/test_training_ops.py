@@ -149,3 +149,24 @@ def test_lang_id_on_crafted_text(spark):
     assert got.loc[2, "predicted_lang"] == "de"
     assert got.loc[3, "predicted_lang"] == "fr"
     assert got.loc[4, "predicted_lang"] == "es"
+
+
+def test_neardup_components_transitive_chain(spark):
+    """a~b, b~c, d~e ⇒ components {a,b,c} and {d,e}; f is a singleton; the
+    survivor is the min doc of each cluster."""
+    from fusets_spark.operators.dedup import neardup_components
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "doc_id long"
+    ).selectExpr("doc_id", "'x' AS text")
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = (
+        neardup_components(docs, pairs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["component"].tolist() == [1, 1, 1, 4, 4, 6]
+    assert got["is_survivor"].tolist() == [True, False, False, True, False, True]
