@@ -7,7 +7,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_WORDS = F.split(F.trim(F.col("text")), " +")
+def _words():
+    """Whitespace tokenization of `text` (built lazily: constructing a
+    Column requires an active SparkContext, so no module-level Columns)."""
+    return F.split(F.trim(F.col("text")), " +")
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 LANG_PROFILES = {
@@ -24,7 +27,7 @@ def text_quality(docs: DataFrame) -> DataFrame:
     punctuation ratio, stopword ratio, distinct-word ratio; plus a blended
     quality score in [0,1] (heuristic: long-enough, low-punct, some
     stopwords, diverse vocabulary)."""
-    words = _WORDS
+    words = _words()
     n_chars = F.length("text")
     n_words = F.size(words)
     n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
@@ -60,7 +63,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     """Stopword-profile language ID: score = #profile words present;
     prediction = argmax with deterministic tie-break on language code
     (greatest over (score, reversed-rank) structs)."""
-    words = _WORDS
+    words = _words()
 
     def _hits(lang: str):
         prof = list(LANG_PROFILES[lang])
@@ -89,7 +92,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace tokens + a BPE-ish regex token count (letter runs, digit
     runs, and single punctuation marks each count as one token)."""
-    ws = F.size(_WORDS)
+    ws = F.size(_words())
     bpe = F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
     return docs.select(
         "doc_id",
@@ -109,7 +112,7 @@ def doc_fingerprint(docs: DataFrame, shingle_words: int = 5) -> DataFrame:
         f" i -> concat_ws(' ', {idx}))"
     )
     exploded = (
-        docs.withColumn("words", _WORDS)
+        docs.withColumn("words", _words())
         .filter(F.size("words") >= shingle_words)
         .select("doc_id", F.explode(sh).alias("shingle"))
     )

@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-WORDS = F.split(F.trim(F.col("text")), " +")
+def _words():
+    """Whitespace tokenization of `text` (built lazily: constructing a
+    Column requires an active SparkContext, so no module-level Columns)."""
+    return F.split(F.trim(F.col("text")), " +")
 
 
 def _shingles(n: int = 3):
@@ -42,7 +45,7 @@ def _shingles(n: int = 3):
 def _doc_shingles(docs: DataFrame, shingle_words: int) -> DataFrame:
     """Distinct (doc_id, shingle)."""
     return (
-        docs.withColumn("words", WORDS)
+        docs.withColumn("words", _words())
         .select("doc_id", F.explode(_shingles(shingle_words)).alias("shingle"))
         .distinct()
     )
@@ -121,25 +124,35 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     blowup, vs. the naive words × bits explode + two groupBys (a 64× shuffle
     amplification). Every word OCCURRENCE votes (duplicates kept)."""
     nibbles = bits // 4
-    hashes = F.transform(WORDS, lambda w: F.substring(F.md5(w), 1, nibbles))
+    hashes = F.transform(_words(), lambda w: F.substring(F.md5(w), 1, nibbles))
+    # hex char -> its 4-bit ±1 vote vector, as a 16-entry literal map: one
+    # lookup + flatten per nibble beats 4 arithmetic bit extractions
+    vote_map = F.create_map(
+        *[
+            part
+            for c in "0123456789abcdef"
+            for part in (
+                F.lit(c),
+                F.array(
+                    *[
+                        F.lit(1 if (int(c, 16) >> (3 - b)) & 1 else -1)
+                        for b in range(4)
+                    ]
+                ),
+            )
+        ]
+    )
 
     def votes(hx: Column) -> Column:
-        # ±1 vote vector of length `bits` for one word hash. Bit b lives in
-        # hex nibble b//4 at position 3-(b%4); extracted arithmetically
-        # (floor-div by 2^(3-b%4) mod 2) — exact for nibble values 0..15.
-        def one(b: Column) -> Column:
-            nv = (
-                F.instr(
-                    F.lit("0123456789abcdef"),
-                    F.substr(hx, (b / 4).cast("int") + 1, F.lit(1)),
-                )
-                - 1
+        # ±1 vote vector of length `bits` for one word hash: per-nibble
+        # map lookup, flattened in hex-digit order (bit b = nibble b//4,
+        # position 3-(b%4) — exactly the map entries' order).
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nibbles - 1)),
+                lambda j: F.element_at(vote_map, F.substr(hx, j + 1, F.lit(1))),
             )
-            denom = F.pow(F.lit(2.0), (3 - F.pmod(b, 4)).cast("double"))
-            bit = F.pmod(F.floor(nv / denom), 2)
-            return F.when(bit == 1, 1).otherwise(-1)
-
-        return F.transform(F.sequence(F.lit(0), F.lit(bits - 1)), one)
+        )
 
     acc = F.aggregate(
         hashes,
