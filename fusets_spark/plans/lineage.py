@@ -41,6 +41,9 @@ class Manifest:
     content_hash: str
     config_hash: str
     n_bytes: int = 0  # on-disk bytes of the batch's partition tree
+    min_ts: str = ""  # ISO min/max bucket_ts of the batch (retention key)
+    max_ts: str = ""
+    expired: bool = False  # data partition dropped by retention policy
 
 
 def content_hash(df: DataFrame) -> tuple[int, str]:
@@ -144,7 +147,14 @@ class TierStore:
         n_bytes = self._tree_bytes(
             os.path.join(self.tier_path(tier), f"batch={batch_id}")
         )
-        m = Manifest(tier, batch_id, n, h, config_hash, n_bytes)
+        lo, hi = "", ""
+        if "bucket_ts" in df.columns:
+            r = df.agg(
+                F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+            ).collect()[0]
+            if r["lo"] is not None:
+                lo, hi = str(r["lo"]), str(r["hi"])
+        m = Manifest(tier, batch_id, n, h, config_hash, n_bytes, lo, hi)
         with open(self._manifest_path(tier, batch_id), "w") as f:
             json.dump(asdict(m), f)
         return m
@@ -156,6 +166,46 @@ class TierStore:
             for name in files:
                 total += os.path.getsize(os.path.join(root, name))
         return total
+
+    # --- retention (TimescaleDB-style drop_chunks over batch partitions)
+    def apply_retention(
+        self, policy: dict[str, float | None], now: str
+    ) -> dict[str, list[str]]:
+        """Enforce a per-tier retention policy: drop every committed batch
+        partition whose newest bucket_ts is older than `now - keep_seconds`
+        for its tier. Metadata-only decision (manifests carry the batch's
+        time range), partition-level deletion — the Iceberg analog is
+        `DELETE WHERE`/expire_snapshots on the (batch) partition.
+
+        Lineage is preserved: the manifest stays, flagged expired=true
+        (content hash still documents what the data WAS). Watermarks are
+        untouched — retention never un-commits a batch, so resume logic
+        keeps skipping it. Idempotent: already-expired manifests are
+        skipped. Tiers mapped to None (or absent) are kept forever.
+
+        Returns {tier: [expired batch ids]}."""
+        import shutil
+        from datetime import datetime, timedelta
+
+        now_dt = datetime.fromisoformat(now)
+        dropped: dict[str, list[str]] = {}
+        for tier, keep in policy.items():
+            if keep is None:
+                continue
+            cutoff = now_dt - timedelta(seconds=float(keep))
+            for m in self.manifests(tier):
+                if m.expired or not m.max_ts:
+                    continue
+                if datetime.fromisoformat(m.max_ts) >= cutoff:
+                    continue
+                part = os.path.join(self.tier_path(tier), f"batch={m.batch_id}")
+                if os.path.isdir(part):
+                    shutil.rmtree(part)
+                m.expired = True
+                with open(self._manifest_path(tier, m.batch_id), "w") as f:
+                    json.dump(asdict(m), f)
+                dropped.setdefault(tier, []).append(m.batch_id)
+        return dropped
 
     def manifest(self, tier: str, batch_id: str) -> Manifest | None:
         p = self._manifest_path(tier, batch_id)

@@ -30,6 +30,15 @@ from .lineage import TierStore
 
 STAGES = [*TIERS.keys(), "blocks"]
 
+# TimescaleDB-style default retention: fine data is the shortest-lived,
+# coarser aggregates keep longer, the 1h tier forever (None).
+DEFAULT_RETENTION: dict[str, float | None] = {
+    "blocks": 7 * 86400.0,
+    "1m": 30 * 86400.0,
+    "5m": 180 * 86400.0,
+    "1h": None,
+}
+
 
 def _config_hash(cfg: dict) -> str:
     return hashlib.sha256(
@@ -93,3 +102,10 @@ class RollupPipeline:
 
     def read_tier(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.parquet(self.store.tier_path(stage))
+
+    def apply_retention(
+        self, now: str, policy: dict[str, float | None] | None = None
+    ) -> dict[str, list[str]]:
+        """Drop batch partitions past each tier's horizon (see
+        TierStore.apply_retention); commit state and lineage stay intact."""
+        return self.store.apply_retention(policy or DEFAULT_RETENTION, now)

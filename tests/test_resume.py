@@ -118,3 +118,52 @@ def test_resume_with_non_padded_batch_ids(spark, tmp_path):
         got = {m.batch_id for m in pipe.store.manifests(s)}
         assert got == {"batch-9", "batch-10"}, (s, got)
     shutil.rmtree(root)
+
+
+def test_retention_drops_old_batches_keeps_lineage(spark, tmp_path):
+    """Retention drops partitions whose newest bucket_ts is past the tier
+    horizon, flags their manifests expired (lineage preserved), leaves
+    watermarks/commit state intact, and is idempotent. Tiers with a None
+    horizon keep everything."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fusets_spark.operators.rollup import rollup_from_raw
+    from fusets_spark.operators.explode import explode_raw
+    from fusets_spark.plans.lineage import TierStore
+
+    store = TierStore(str(tmp_path / "ret"))
+    pts = explode_raw(generate_tokens(spark, 10, seed=3, min_tok=32, max_tok=64))
+    for k, batch_id in enumerate(["b0", "b1", "b2"]):
+        tier = rollup_from_raw(
+            pts.withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {k * 10} DAYS")
+            ),
+            "1m",
+        )
+        for stage in ("1m", "1h"):
+            store.write_batch(tier, stage, batch_id, "cfg")
+            store.commit_watermark(stage, batch_id)
+
+    # batches are 0/10/20 days old relative to b2; 5-day horizon drops b0+b1
+    m2 = store.manifest("1m", "b2")
+    now = m2.max_ts  # newest data's timestamp
+    dropped = store.apply_retention({"1m": 5 * 86400.0, "1h": None}, now)
+    assert dropped == {"1m": ["b0", "b1"]}
+    # partitions gone, manifests expired, commit state intact
+    for b in ("b0", "b1"):
+        assert not os.path.isdir(
+            os.path.join(store.tier_path("1m"), f"batch={b}")
+        )
+        assert store.manifest("1m", b).expired
+        assert store.is_committed("1m", b)
+    assert os.path.isdir(os.path.join(store.tier_path("1m"), "batch=b2"))
+    # 1h tier (None horizon) untouched
+    assert not store.manifest("1h", "b0").expired
+    # reads see only surviving data
+    got = spark.read.parquet(store.tier_path("1m"))
+    assert got.select("batch").distinct().toPandas()["batch"].tolist() == ["b2"]
+    # idempotent
+    assert store.apply_retention({"1m": 5 * 86400.0}, now) == {}

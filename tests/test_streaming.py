@@ -75,3 +75,31 @@ def test_streaming_file_pipeline_append_mode(spark, tmp_path):
     q2 = start_file_stream_rollup(spark, src, out, ckpt, tier_seconds=60)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_stream_output_feeds_coarser_tiers(spark, tmp_path):
+    """The streaming 1m output composes with the batch ladder: re-aggregating
+    the streamed tier through rollup_from_tier gives exactly the 1h tier the
+    batch ladder computes from raw — the continuous-aggregate contract."""
+    from fusets_spark.operators.rollup import rollup_from_tier
+
+    pts = _points_pdf(spark, n_docs=25, seed=11)
+    src = str(tmp_path / "pts3")
+    pts.write.parquet(src)
+    stream = spark.readStream.schema(POINTS_DDL).parquet(src)
+    q = (
+        stream_rollup_df(stream, tier_seconds=60)
+        .writeStream.format("memory")
+        .queryName("t1m_compose")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed_1m = spark.table("t1m_compose")
+    got = rollup_from_tier(streamed_1m, "1h").toPandas()
+    want = rollup_from_raw(spark.read.parquet(src), "1h").toPandas()
+    key = ["source", "doc_id", "bucket_ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -170,3 +170,16 @@ def test_neardup_components_transitive_chain(spark):
     )
     assert got["component"].tolist() == [1, 1, 1, 4, 4, 6]
     assert got["is_survivor"].tolist() == [True, False, False, True, False, True]
+
+
+def test_multi_probe_improves_ann_candidates(spark):
+    """Multi-probe LSH must never see FEWER candidates than probing only
+    the query's own bucket, and the query vector is always rank 1."""
+    from fusets_spark.operators.similarity import ann_topk_lsh
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    single = ann_topk_lsh(emb, 0, k=100, n_planes=6, n_probes=0).toPandas()
+    multi = ann_topk_lsh(emb, 0, k=100, n_planes=6, n_probes=3).toPandas()
+    assert len(multi) >= len(single)
+    assert set(single["vec_id"]) <= set(multi["vec_id"])
+    assert multi.loc[multi["rank"] == 1, "vec_id"].iloc[0] == 0
