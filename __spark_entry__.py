@@ -1482,6 +1482,67 @@ FROM g3 WINDOW w AS (PARTITION BY source, doc_id)
 """
 
 
+_NUM_SEASONS_ORACLE = """
+WITH RECURSIVE p AS (
+  SELECT event_type AS source, CAST(user_id AS VARCHAR) AS doc_id, value,
+         row_number() OVER wo - 1 AS idx,
+         count(*) OVER wp AS n,
+         quantile_cont(value, 0.75) OVER wp AS height
+  FROM events
+  WINDOW wo AS (PARTITION BY event_type, user_id ORDER BY ts),
+         wp AS (PARTITION BY event_type, user_id)
+), runs0 AS (  -- group consecutive equal values (find_peaks plateau runs)
+  SELECT *, CASE WHEN lag(value) OVER wo2 IS NULL
+                   OR lag(value) OVER wo2 <> value THEN 1 ELSE 0 END AS newrun
+  FROM p WINDOW wo2 AS (PARTITION BY source, doc_id ORDER BY idx)
+), runs1 AS (
+  SELECT *, sum(newrun) OVER (PARTITION BY source, doc_id
+                              ORDER BY idx) AS run_id
+  FROM runs0
+), runs AS (
+  SELECT source, doc_id, run_id, any_value(value) AS v,
+         min(idx) AS first_idx, max(idx) AS last_idx,
+         any_value(n) AS n, any_value(height) AS height
+  FROM runs1 GROUP BY source, doc_id, run_id
+), rp AS (
+  SELECT *, lag(v) OVER wr AS pv, lead(v) OVER wr AS nv
+  FROM runs WINDOW wr AS (PARTITION BY source, doc_id ORDER BY run_id)
+), peaks AS (  -- plateau midpoint peaks, height-filtered, ranked by the
+               -- scipy suppression priority (height DESC, later idx first)
+  SELECT source, doc_id,
+         (first_idx + last_idx) // 2 AS idx, v,
+         CAST(ceil(n / 4.0) AS BIGINT) AS dist,
+         row_number() OVER (
+           PARTITION BY source, doc_id
+           ORDER BY v DESC, (first_idx + last_idx) // 2 DESC) AS r
+  FROM rp
+  WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v > nv
+    AND v >= height
+), maxr AS (
+  SELECT source, doc_id, count(*) AS mr FROM peaks GROUP BY 1, 2
+), series AS (
+  SELECT DISTINCT source, doc_id FROM p
+), rec AS (  -- greedy distance suppression, one ranked peak per step
+  SELECT s.source, s.doc_id, CAST(0 AS BIGINT) AS r,
+         CAST([] AS BIGINT[]) AS kept
+  FROM series s
+  UNION ALL
+  SELECT rec.source, rec.doc_id, rec.r + 1,
+         CASE WHEN len(list_filter(rec.kept,
+                                   k -> abs(k - pk.idx) < pk.dist)) = 0
+              THEN list_append(rec.kept, pk.idx)
+              ELSE rec.kept END
+  FROM rec
+  JOIN peaks pk ON pk.source = rec.source AND pk.doc_id = rec.doc_id
+               AND pk.r = rec.r + 1
+)
+SELECT rec.source, rec.doc_id, CAST(len(rec.kept) AS INT) AS num_seasons
+FROM rec
+LEFT JOIN maxr USING (source, doc_id)
+WHERE rec.r = coalesce(maxr.mr, 0)
+"""
+
+
 _OUTLIER_REMOVAL_ORACLE = """
 WITH p AS (
   SELECT event_type AS source, user_id AS doc_id, ts, value FROM events
@@ -1525,6 +1586,7 @@ SELECT coalesce(c.doc_id, v.doc_id) AS doc_id,
 FROM c FULL OUTER JOIN v ON c.doc_id = v.doc_id AND c.ts = v.ts
 """,
         "remove_outliers_median": _OUTLIER_REMOVAL_ORACLE,
+        "num_seasons": _NUM_SEASONS_ORACLE,
         "focal_stats": _FOCAL_ORACLE,
         "polygon_mask": _polygon_oracle(),
         "savgol_smooth": _savgol_oracle(),
