@@ -434,6 +434,18 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANN_PARAMS = dict(k=20, n_planes=5, n_probes=2, seed=42, dim=64)
 _NEARDUP_PARAMS = dict(threshold=0.25, n_planes=5, n_tables=3, seed=7, dim=64)
+_IVF_PARAMS = dict(k=20, n_cells=16, nprobe=2, sample=1024, iters=10)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (centroid coarse quantizer, the brief's alternative to LSH):
+    deterministic driver-side k-means on a fixed sample, distributed
+    assignment against literal centroids, nprobe-cell exact-cosine rank."""
+    from fusets_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, **_IVF_PARAMS
+    )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1242,6 +1255,66 @@ QUALIFY rank <= {P['k']}
 """
 
 
+def _ivf_oracle() -> str:
+    """IVF ANN oracle: regenerate the SAME deterministic k-means centroids
+    (numpy on the first `sample` vec_ids) from the sf0.01 embeddings — the
+    scale factor the driver's correctness gate compares at — and mirror
+    assignment (argmin |c|²−2·v·c, ties → lowest cell), nprobe probing, and
+    exact cosine ranking in SQL."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from fusets_spark.operators.similarity import kmeans_fit
+
+    P = _IVF_PARAMS
+    tbl = pq.read_table(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    tbl = tbl.sort_values("vec_id").head(P["sample"])
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"]])
+    C = kmeans_fit(X, P["n_cells"], P["iters"])
+    rows = []
+    for i, c in enumerate(C):
+        lit = ", ".join(repr(float(v)) for v in c)
+        rows.append(f"({i}, [{lit}]::DOUBLE[], {float(c @ c)!r})")
+    vals = ",\n    ".join(rows)
+    dim = X.shape[1]
+    return f"""
+WITH cents(c, cv, n2) AS (VALUES
+    {vals}
+), e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+), m AS (
+  SELECT vec_id, label, ve, c,
+         n2 - 2 * list_sum(list_transform(range(1, {dim + 1}),
+                                          i -> ve[i] * cv[i])) AS d
+  FROM e CROSS JOIN cents
+), a AS (
+  SELECT vec_id, any_value(label) AS label, any_value(ve) AS ve,
+         list_sort(list(struct_pack(d := d, c := c)))[1].c AS cell
+  FROM m GROUP BY vec_id
+), q AS (
+  SELECT any_value(ve) AS qve,
+         list_transform(list_sort(list(struct_pack(d := d, c := c))),
+                        s -> s.c)[1:{P['nprobe']}] AS probes
+  FROM m WHERE vec_id = 0 GROUP BY vec_id
+), s AS (
+  SELECT a.vec_id, a.label,
+         list_sum(list_transform(range(1, {dim + 1}),
+                                 i -> a.ve[i] * q.qve[i]))
+           / (sqrt(list_sum(list_transform(a.ve, x -> x * x)))
+              * sqrt(list_sum(list_transform(q.qve, x -> x * x)))) AS cos
+  FROM a, q WHERE list_contains(q.probes, a.cell)
+)
+SELECT vec_id, label, round(cos, 6) + 0.0 AS cos,
+       CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= {P['k']}
+"""
+
+
 def _neardup_oracle() -> str:
     """Banded multi-table LSH near-dup oracle — mirrors
     operators/similarity.py:embedding_neardup_pairs."""
@@ -1603,6 +1676,7 @@ FROM documents GROUP BY 1
         "dedup_components": _components_oracle(),
         "cosine_topk": _COSINE_ORACLE,
         "ann_lsh_topk": _ann_oracle(),
+        "ann_ivf_topk": _ivf_oracle(),
         "embedding_neardup": _neardup_oracle(),
         "text_quality": _QUALITY_ORACLE,
         "lang_id": _LANGID_ORACLE,

@@ -202,6 +202,96 @@ def ann_topk_lsh(
     return _ranked_topk(scored, k, "vec_id")
 
 
+def kmeans_fit(X: np.ndarray, n_cells: int, iters: int = 10) -> np.ndarray:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer: init =
+    evenly spaced rows of the (vec_id-sorted) sample, fixed iteration
+    count, empty cells keep their previous centroid. Pure numpy on the
+    driver — bit-reproducible, so centroids can be embedded as plan
+    literals AND regenerated by the SQL oracle."""
+    X = np.asarray(X, dtype=np.float64)
+    idx = np.linspace(0, len(X) - 1, n_cells).astype(int)
+    C = X[idx].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for c in range(n_cells):
+            m = a == c
+            if m.any():
+                C[c] = X[m].mean(0)
+    return C
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    sample: int = 1024,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Fit-once coarse quantizer on a deterministic sample — the same
+    fit-once/apply-many pattern as the reference's MOGPRTransformer: the
+    first `sample` vectors by id train k-means on the driver (bounded
+    collect), then assignment runs distributed against literal centroids.
+    At corpus scale the quantizer is trained once on a fixed sample and
+    reused across queries/batches."""
+    pdf = (
+        embeddings.orderBy(id_col).limit(sample).select(vec_col).toPandas()
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    return kmeans_fit(X, n_cells, iters)
+
+
+def _ivf_cell_scores(vec_col: str, centroids: np.ndarray) -> list[Column]:
+    """Per-cell score struct (|c|² − 2·v·c, cell) — argmin of the score is
+    the nearest centroid (the |v|² term is constant across cells)."""
+    out = []
+    for i, c in enumerate(centroids):
+        n2 = float(c @ c)
+        score = F.lit(n2) - 2.0 * _plane_dot(vec_col, c)
+        out.append(F.struct(score.alias("d"), F.lit(i).alias("c")))
+    return out
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 20,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    sample: int = 1024,
+    iters: int = 10,
+) -> DataFrame:
+    """IVF ANN — the centroid-quantizer alternative to hyperplane LSH:
+    vectors are assigned to their nearest of n_cells k-means centroids
+    (cell = shuffle/partition key at scale); the query probes its `nprobe`
+    nearest cells and ranks candidates by exact cosine. Probed fraction of
+    the corpus ≈ nprobe/n_cells."""
+    C = train_ivf_centroids(embeddings, n_cells, sample, iters)
+    cell = F.element_at(F.array_sort(F.array(*_ivf_cell_scores("embedding", C))), 1)["c"]
+    assigned = embeddings.withColumn("cell", cell)
+    q = assigned.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    probes = F.slice(
+        F.transform(
+            F.array_sort(F.array(*_ivf_cell_scores("qvec", C))),
+            lambda s: s["c"],
+        ),
+        1,
+        nprobe,
+    )
+    q = q.select("qvec", probes.alias("probes"))
+    cand = assigned.join(
+        F.broadcast(q), F.array_contains(F.col("probes"), F.col("cell"))
+    )
+    cos = _dot(F.col("embedding"), F.col("qvec")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qvec"))
+    )
+    scored = cand.select("vec_id", "label", cos.alias("cos"))
+    return _ranked_topk(scored, k, "vec_id")
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

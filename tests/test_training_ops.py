@@ -183,3 +183,23 @@ def test_multi_probe_improves_ann_candidates(spark):
     assert len(multi) >= len(single)
     assert set(single["vec_id"]) <= set(multi["vec_id"])
     assert multi.loc[multi["rank"] == 1, "vec_id"].iloc[0] == 0
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF ANN finds a reasonable share of the exact top-k; the query
+    vector is always rank 1 (it probes its own cell); raising nprobe never
+    shrinks the candidate set."""
+    from fusets_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = set(cosine_topk(emb, 0, k=10).toPandas()["vec_id"])
+    ivf2 = ivf_topk(emb, 0, k=10, n_cells=16, nprobe=2).toPandas()
+    assert ivf2.loc[ivf2["rank"] == 1, "vec_id"].iloc[0] == 0
+    recall = len(exact & set(ivf2["vec_id"])) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall} suspiciously low"
+    # k >= corpus size ⇒ both results are their FULL candidate cells, so
+    # more probes is a strict candidate superset (k-truncation would break
+    # this: narrow's weakest survivors need not make wide's top-k)
+    wide = ivf_topk(emb, 0, k=1000, n_cells=16, nprobe=8).toPandas()
+    narrow = ivf_topk(emb, 0, k=1000, n_cells=16, nprobe=2).toPandas()
+    assert set(narrow["vec_id"]) <= set(wide["vec_id"])
