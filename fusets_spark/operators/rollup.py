@@ -44,6 +44,7 @@ def rollup_from_raw(
     value_col: str = "value",
     order_col: str = "pos",
     integer_values: bool = True,
+    with_order_keys: bool = False,
 ) -> DataFrame:
     """Aggregate raw points into one tier.
 
@@ -62,6 +63,14 @@ def rollup_from_raw(
     )
     v = F.col(value_col)
     sum_expr = F.sum(v.cast("long")) if integer_values else F.sum(v)
+    extra = (
+        [
+            F.min(F.col(order_col)).alias("first_pos"),
+            F.max(F.col(order_col)).alias("last_pos"),
+        ]
+        if with_order_keys
+        else []
+    )
     out = (
         points.groupBy(*SERIES_KEYS, bucket_ts.alias("bucket_ts"))
         .agg(
@@ -71,9 +80,33 @@ def rollup_from_raw(
             F.max(v).alias("max_val"),
             F.min_by(v, F.col(order_col)).alias("first_val"),
             F.max_by(v, F.col(order_col)).alias("last_val"),
+            *extra,
         )
     )
     return _with_avg(out)
+
+
+def merge_tier_partials(partials: DataFrame) -> DataFrame:
+    """EXACT merge of per-batch tier partials for the same (series, bucket)
+    — the late-data path of the continuous aggregate: when a later batch
+    contributes points to an already-materialized bucket, reading the tier
+    means re-merging partial rows. Every merge is associative+commutative
+    (sums/counts/min/max), and first/last merge exactly because partials
+    carry their order keys (first_pos/last_pos from
+    rollup_from_raw(with_order_keys=True)): the merged first is the
+    first_val of the partial with the smallest first_pos. Output schema ==
+    the input schema (merging is idempotent and composable)."""
+    merged = partials.groupBy(*SERIES_KEYS, "bucket_ts").agg(
+        F.sum("n_obs").alias("n_obs"),
+        F.sum("sum_val").alias("sum_val"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+        F.min_by("first_val", F.col("first_pos")).alias("first_val"),
+        F.max_by("last_val", F.col("last_pos")).alias("last_val"),
+        F.min("first_pos").alias("first_pos"),
+        F.max("last_pos").alias("last_pos"),
+    )
+    return _with_avg(merged)
 
 
 def rollup_from_tier(lower: DataFrame, tier: str) -> DataFrame:

@@ -113,3 +113,34 @@ def test_missing_fraction_sane(spark):
     arr = np.concatenate([np.asarray(t) for t in toks["tokens"]])
     frac = float((arr == -1).mean())
     assert 0.15 < frac < 0.35
+
+
+def test_merge_tier_partials_equals_direct_rollup(spark):
+    """Late-data exactness: points split arbitrarily across two batches,
+    each rolled up independently with order keys, then merged — must equal
+    the single-pass rollup of all points, including first/last (merged by
+    the carried order keys). Merging is also idempotent."""
+    from pyspark.sql import functions as F
+
+    from fusets_spark.datagen import generate_tokens
+    from fusets_spark.operators.explode import explode_raw
+    from fusets_spark.operators.rollup import merge_tier_partials, rollup_from_raw
+
+    pts = explode_raw(generate_tokens(spark, 30, seed=21, min_tok=64, max_tok=200))
+    a = pts.filter(F.pmod("pos", F.lit(3)) == 0)
+    b = pts.filter(F.pmod("pos", F.lit(3)) != 0)
+    partials = rollup_from_raw(a, "1m", with_order_keys=True).unionByName(
+        rollup_from_raw(b, "1m", with_order_keys=True)
+    )
+    merged = merge_tier_partials(partials).toPandas()
+    direct = rollup_from_raw(pts, "1m", with_order_keys=True).toPandas()
+    key = ["source", "doc_id", "bucket_ts"]
+    cols = sorted(direct.columns)
+    merged = merged[cols].sort_values(key).reset_index(drop=True)
+    direct = direct[cols].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, direct, check_dtype=False)
+    # idempotent: merging the merged rows is a no-op
+    again = merge_tier_partials(
+        merge_tier_partials(partials)
+    ).toPandas()[cols].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(again, direct, check_dtype=False)
