@@ -138,32 +138,29 @@ def phenometrics(
         )
     )
 
-    # --- stage 2: per-series scalars
-    scalars = ann.groupBy(*SERIES_KEYS).agg(
-        F.first("pos_value").alias("pos_value"),
-        F.first("pos_doy").alias("pos_doy"),
-        F.first("vos_value").alias("vos_value"),
-        F.first("vos_doy").alias("vos_doy"),
-        F.min("ml").alias("_min_l"),
-        F.min("mr").alias("_min_r"),
-        (
+    # --- stage 2: per-series scalars as WINDOW columns (same partitioning
+    # as stage 1 => the whole operator is ONE scan + ONE exchange; the old
+    # groupBy + join-back shape re-scanned and re-shuffled the input 7x)
+    ann = (
+        ann.withColumn("_min_l", F.min("ml").over(w))
+        .withColumn("_min_r", F.min("mr").over(w))
+        .withColumn(
+            "mos_value",
             (
-                F.avg(F.when(F.col("ml") >= 0.8 * F.col("pos_value"), F.col("ml")))
-                + F.avg(F.when(F.col("mr") >= 0.8 * F.col("pos_value"), F.col("mr")))
+                F.avg(
+                    F.when(F.col("ml") >= 0.8 * F.col("pos_value"), F.col("ml"))
+                ).over(w)
+                + F.avg(
+                    F.when(F.col("mr") >= 0.8 * F.col("pos_value"), F.col("mr"))
+                ).over(w)
             )
-            / 2
-        ).alias("mos_value"),
-        F.median(F.when(F.col("cand_l"), v)).alias("_med_l"),
-        F.median(F.when(F.col("cand_r"), v)).alias("_med_r"),
-        F.percentile(v, F.lit(0.10)).alias("_q10"),
-        F.percentile(v, F.lit(0.90)).alias("_q90"),
-        F.sum("trap_term").alias("liot_value"),
-        F.sum(F.col("next_doy") - F.col("doy")).alias("_span_total"),
-    )
-    scalars = (
-        scalars.withColumn(
-            "bse_value", (F.col("_min_l") + F.col("_min_r")) / 2
+            / 2,
         )
+        .withColumn("liot_value", F.sum("trap_term").over(w))
+        .withColumn(
+            "_span_total", F.sum(F.col("next_doy") - F.col("doy")).over(w)
+        )
+        .withColumn("bse_value", (F.col("_min_l") + F.col("_min_r")) / 2)
         .withColumn("aos_value", F.col("pos_value") - F.col("bse_value"))
         .withColumn(
             "siot_value",
@@ -171,7 +168,7 @@ def phenometrics(
         )
     )
 
-    # --- stage 3: method target + argmin over candidates
+    # --- stage 3: method target + per-row distance
     if method == "stl_trend":
         # per-ROW target: |v − STL trend| at the same time index (reference
         # _phenolopy.py:1510-1593); trend = LOESS kernel (see
@@ -186,50 +183,48 @@ def phenometrics(
                 v.alias("value"),
             )
         )
-        cand = ann.withColumn("_sdoc", F.col("doc_id").cast("string")).join(
-            trend.select(
-                "source", F.col("doc_id").alias("_sdoc"), "ts", "trend"
-            ),
-            ["source", "_sdoc", "ts"],
-        ).drop("_sdoc")
+        ann = (
+            ann.withColumn("_sdoc", F.col("doc_id").cast("string"))
+            .join(
+                trend.select(
+                    "source", F.col("doc_id").alias("_sdoc"), "ts", "trend"
+                ),
+                ["source", "_sdoc", "ts"],
+            )
+            .drop("_sdoc")
+        )
         dist_l = F.abs(v - F.col("trend"))
         dist_r = F.abs(v - F.col("trend"))
-        return _finish(ann, scalars, cand, dist_l, dist_r, v)
-    if method == "seasonal_amplitude":
-        base = F.col("_min_l") if thresh_sides == "one_sided" else F.col("bse_value")
-        base_r = F.col("_min_r") if thresh_sides == "one_sided" else F.col("bse_value")
-        t_l = base + F.lit(factor) * F.col("aos_value")
-        t_r = base_r + F.lit(factor) * F.col("aos_value")
-    elif method == "relative_value":
-        t_l = t_r = F.col("_q10") + F.lit(factor) * (F.col("_q90") - F.col("_q10"))
-    elif method == "absolute_value":
-        t_l = t_r = F.lit(float(abs_value))
-    else:  # first/median_of_slope: per-side medians (unused for first)
-        t_l, t_r = F.col("_med_l"), F.col("_med_r")
-
-    targets = scalars.select(
-        *SERIES_KEYS, t_l.alias("_t_l"), t_r.alias("_t_r")
-    )
-    cand = ann.join(targets, SERIES_KEYS)
-    if method == "first_of_slope":
-        dist_l, dist_r = v, v  # signed (v - median) argmin == argmin v
     else:
-        dist_l = F.abs(v - F.col("_t_l"))
-        dist_r = F.abs(v - F.col("_t_r"))
-    return _finish(ann, scalars, cand, dist_l, dist_r, v)
+        if method == "seasonal_amplitude":
+            base = (
+                F.col("_min_l")
+                if thresh_sides == "one_sided"
+                else F.col("bse_value")
+            )
+            base_r = (
+                F.col("_min_r")
+                if thresh_sides == "one_sided"
+                else F.col("bse_value")
+            )
+            t_l = base + F.lit(factor) * F.col("aos_value")
+            t_r = base_r + F.lit(factor) * F.col("aos_value")
+        elif method == "relative_value":
+            q10 = F.percentile(v, F.lit(0.10)).over(w)
+            q90 = F.percentile(v, F.lit(0.90)).over(w)
+            t_l = t_r = q10 + F.lit(factor) * (q90 - q10)
+        elif method == "absolute_value":
+            t_l = t_r = F.lit(float(abs_value))
+        else:  # first/median_of_slope: per-side medians (unused for first)
+            t_l = F.median(F.when(F.col("cand_l"), v)).over(w)
+            t_r = F.median(F.when(F.col("cand_r"), v)).over(w)
+        if method == "first_of_slope":
+            dist_l, dist_r = v, v  # signed (v - median) argmin == argmin v
+        else:
+            dist_l = F.abs(v - t_l)
+            dist_r = F.abs(v - t_r)
 
-
-def _finish(
-    ann: DataFrame,
-    scalars: DataFrame,
-    cand: DataFrame,
-    dist_l: Column,
-    dist_r: Column,
-    v: Column,
-) -> DataFrame:
-    """Stages 3b-4, shared by all SOS/EOS methods: argmin over candidate
-    rows, LOS/ROI/ROD scalars, in-season integrals (lios/sios)."""
-
+    # --- stage 4: argmin over candidates + derived metrics, still windows
     def _argmin(side: str, dist: Column) -> Column:
         return F.min_by(
             F.struct(v.alias("v"), F.col("doy").alias("d")),
@@ -240,26 +235,19 @@ def _finish(
                 F.col("doy").alias("t"),
                 epoch_us("ts").alias("u"),
             ),
-        )
+        ).over(w)
 
-    ends = cand.groupBy(*SERIES_KEYS).agg(
-        _argmin("cand_l", dist_l).alias("_sosr"),
-        _argmin("cand_r", dist_r).alias("_eosr"),
-        F.max(F.col("cand_l").cast("int")).alias("_has_l"),
-        F.max(F.col("cand_r").cast("int")).alias("_has_r"),
-    )
-    m = scalars.join(ends, SERIES_KEYS)
-    m = (
-        m.withColumn("sos_value", F.when(F.col("_has_l") == 1, F.col("_sosr.v")))
-        .withColumn("sos_doy", F.when(F.col("_has_l") == 1, F.col("_sosr.d")))
-        .withColumn("eos_value", F.when(F.col("_has_r") == 1, F.col("_eosr.v")))
-        .withColumn("eos_doy", F.when(F.col("_has_r") == 1, F.col("_eosr.d")))
-        .drop("_sosr", "_eosr", "_has_l", "_has_r", "_min_l", "_min_r",
-              "_med_l", "_med_r", "_q10", "_q90", "_span_total")
+    has_l = F.max(F.col("cand_l").cast("int")).over(w) == 1
+    has_r = F.max(F.col("cand_r").cast("int")).over(w) == 1
+    ann = (
+        ann.withColumn("sos_value", F.when(has_l, _argmin("cand_l", dist_l)["v"]))
+        .withColumn("sos_doy", F.when(has_l, _argmin("cand_l", dist_l)["d"]))
+        .withColumn("eos_value", F.when(has_r, _argmin("cand_r", dist_r)["v"]))
+        .withColumn("eos_doy", F.when(has_r, _argmin("cand_r", dist_r)["d"]))
     )
     los = F.col("eos_doy") - F.col("sos_doy")
-    m = (
-        m.withColumn("los_value", F.when(los < 0, los + 365).otherwise(los))
+    ann = (
+        ann.withColumn("los_value", F.when(los < 0, los + 365).otherwise(los))
         .withColumn(
             "roi_value",
             F.when(
@@ -278,22 +266,35 @@ def _finish(
         )
     )
 
-    # --- stage 4: in-season integral between sos and eos
-    season = ann.join(
-        m.select(*SERIES_KEYS, "sos_doy", "eos_doy"), SERIES_KEYS
-    ).filter(
-        (F.col("doy") >= F.col("sos_doy"))
-        & (F.col("next_doy") <= F.col("eos_doy"))
+    # --- stage 5: in-season integrals (conditions reference the window-
+    # attached sos/eos, so this is a second Window pass over the SAME
+    # partitioning — no new exchange)
+    in_season = (F.col("doy") >= F.col("sos_doy")) & (
+        F.col("next_doy") <= F.col("eos_doy")
     )
-    lios = season.groupBy(*SERIES_KEYS).agg(
-        F.sum("trap_term").alias("lios_value"),
-        F.sum(F.col("next_doy") - F.col("doy")).alias("_span_season"),
-    )
-    return (
-        m.join(lios, SERIES_KEYS, "left")
+    ann = (
+        ann.withColumn(
+            "lios_value",
+            F.sum(F.when(in_season, F.col("trap_term"))).over(w),
+        )
+        .withColumn(
+            "_span_season",
+            F.sum(F.when(in_season, F.col("next_doy") - F.col("doy"))).over(w),
+        )
         .withColumn(
             "sios_value",
             F.col("lios_value") - F.col("bse_value") * F.col("_span_season"),
         )
-        .drop("_span_season")
+    )
+
+    # --- stage 6: one row per series (all metric columns are per-series
+    # constants; the groupBy reuses the window partitioning — no exchange)
+    metrics = [
+        "pos_value", "pos_doy", "vos_value", "vos_doy", "bse_value",
+        "mos_value", "aos_value", "sos_value", "sos_doy", "eos_value",
+        "eos_doy", "los_value", "roi_value", "rod_value", "lios_value",
+        "liot_value", "sios_value", "siot_value",
+    ]
+    return ann.groupBy(*SERIES_KEYS).agg(
+        *[F.first(c).alias(c) for c in metrics]
     )

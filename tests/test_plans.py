@@ -71,6 +71,23 @@ def test_topk_has_no_global_window_sort(spark):
             )
 
 
+def test_phenometrics_single_scan_single_exchange(spark):
+    """phenometrics must stay a one-pass window plan: ONE parquet scan and
+    ONE hash exchange on the series key (the old groupBy + join-back shape
+    re-scanned and re-shuffled the input 7x — at 100 TB that is 7x the IO)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    plan = _plan(mod.queries()["phenometrics"](spark, SF))
+    assert plan.count("FileScan parquet") == 1, "phenometrics re-scans input"
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "phenometrics re-shuffles beyond the series-key exchange"
+    )
+
+
 def test_broadcast_join_for_small_side(spark):
     """The cosine top-k query must broadcast its 1-row query side."""
     import importlib.util
