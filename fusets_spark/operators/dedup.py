@@ -87,18 +87,26 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs: docs sharing ANY LSH band (band key =
     md5 of the band's concatenated minhashes). Self-join per band, a < b."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signatures(docs, n_hashes, shingle_words)
-    band_cols = []
+    # Signatures are one small row per doc but expensive to derive (the
+    # shingle explode + groupBy): persist them so the band self-join's two
+    # sides hit the cached relation instead of re-scanning the corpus
+    # (2x scan + 2x shingle shuffle otherwise; at web scale the signature
+    # table is the thing you materialize).
+    sig = minhash_signatures(docs, n_hashes, shingle_words).persist()
+    band_structs = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
-    banded = sig.select("doc_id", *band_cols)
-    stacked = None
-    for b in range(bands):
-        part = banded.select(
-            "doc_id", F.lit(b).alias("band_no"), F.col(f"band{b}").alias("bkey")
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_no"),
+                F.md5(F.concat_ws("|", *parts)).alias("bkey"),
+            )
         )
-        stacked = part if stacked is None else stacked.unionByName(part)
+    # one plan subtree: bands come from an explode, not a 4-way union that
+    # re-derives the signatures per band
+    stacked = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", F.col("b.band_no").alias("band_no"), F.col("b.bkey").alias("bkey"))
     a, b_ = stacked.alias("a"), stacked.alias("b")
     return (
         a.join(
@@ -235,7 +243,12 @@ def ngram_jaccard_pairs(
     then computed EXACTLY over the candidates' full shingle sets (hot
     shingles included), so the cap only bounds candidate generation; pairs
     whose overlap is exclusively boilerplate are the accepted recall loss."""
-    sh = _doc_shingles(docs, shingle_words)
+    # the distinct shingle table feeds candidate generation (x2 join
+    # sides), the frequency cap, the exact-intersection join (x2) and the
+    # per-doc sizes — persist it once instead of re-deriving the explode +
+    # distinct six times (MEMORY_AND_DISK by default; at corpus scale this
+    # is the materialized shingle index)
+    sh = _doc_shingles(docs, shingle_words).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = sh.join(
         sh.groupBy("shingle")

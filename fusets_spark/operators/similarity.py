@@ -307,16 +307,26 @@ def embedding_neardup_pairs(
     candidate volume is O(n_tables · n²/2^n_planes) — raise n_planes for
     corpus growth and add tables to hold recall, instead of letting one
     low-plane table go quadratic."""
-    stacked = None
-    for t in range(n_tables):
-        planes = make_planes(n_planes, dim, seed + 7919 * t)
-        part = embeddings.select(
-            "vec_id",
-            "embedding",
+    # one plan subtree: per-table buckets from a single explode instead of
+    # an n_tables-way union (which re-scans the corpus per table per join
+    # side — 2·n_tables scans)
+    table_structs = [
+        F.struct(
             F.lit(t).alias("table_no"),
-            _bucket_expr("embedding", planes).alias("bucket"),
+            _bucket_expr(
+                "embedding", make_planes(n_planes, dim, seed + 7919 * t)
+            ).alias("bucket"),
         )
-        stacked = part if stacked is None else stacked.unionByName(part)
+        for t in range(n_tables)
+    ]
+    stacked = embeddings.select(
+        "vec_id", "embedding", F.explode(F.array(*table_structs)).alias("t")
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("t.table_no").alias("table_no"),
+        F.col("t.bucket").alias("bucket"),
+    )
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(

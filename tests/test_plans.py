@@ -88,6 +88,25 @@ def test_phenometrics_single_scan_single_exchange(spark):
     )
 
 
+def test_dedup_reuses_materialized_intermediates(spark):
+    """The signature/shingle tables feed many plan branches: they must be
+    persisted (InMemoryTableScan) so join sides reuse one computation, and
+    the banded/near-dup stacking must be an explode, not a per-band union
+    that re-scans the corpus."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
+        plan = _plan(mod.queries()[name](spark, SF))
+        assert "InMemoryTableScan" in plan, f"{name}: intermediate not cached"
+    plan = _plan(mod.queries()["embedding_neardup"](spark, SF))
+    # two join sides only — the per-table union shape had 2·n_tables scans
+    assert plan.count("FileScan parquet") <= 2, "neardup re-scans per table"
+
+
 def test_broadcast_join_for_small_side(spark):
     """The cosine top-k query must broadcast its 1-row query side."""
     import importlib.util
