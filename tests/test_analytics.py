@@ -222,3 +222,49 @@ def test_polygon_mask_known_points(spark):
         polygon_mask(pts, poly).toPandas()["id"].tolist()
     )
     assert got == [1, 4]
+
+
+def test_polygon_mask_matches_halfplane_on_convex(spark):
+    """Property check of the ray-casting expression: for CONVEX polygons
+    membership has an independent closed form (inside iff the point is on
+    the interior side of every edge), which must agree with ray casting for
+    points away from edges."""
+    import numpy as np
+
+    from fusets_spark.operators.spatial import polygon_mask
+
+    rng = np.random.default_rng(17)
+    angles = np.sort(rng.uniform(0, 2 * np.pi, 7))
+    # vertices on a circle => convex; tiny per-vertex y-jitter rules out
+    # exactly-horizontal edges
+    poly = [
+        (float(10 + 8 * np.cos(a)), float(10 + 8 * np.sin(a) + 1e-3 * i))
+        for i, a in enumerate(angles)
+    ]
+    pts = rng.uniform(-2, 22, size=(300, 2))
+
+    def halfplane_inside(p):
+        n = len(poly)
+        sides = []
+        for i in range(n):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % n]
+            sides.append(np.sign((x2 - x1) * (p[1] - y1) - (y2 - y1) * (p[0] - x1)))
+        sides = [s for s in sides if s != 0]
+        return all(s > 0 for s in sides) or all(s < 0 for s in sides)
+
+    # drop points too close to any edge (both methods are exact off-edge)
+    def edge_dist(p):
+        d = np.inf
+        for i in range(len(poly)):
+            a = np.array(poly[i]); b = np.array(poly[(i + 1) % len(poly)])
+            t = np.clip(np.dot(p - a, b - a) / np.dot(b - a, b - a), 0, 1)
+            d = min(d, np.linalg.norm(p - (a + t * (b - a))))
+        return d
+
+    keep = [p for p in pts if edge_dist(p) > 1e-3]
+    pdf = [(i, float(p[0]), float(p[1])) for i, p in enumerate(keep)]
+    df = spark.createDataFrame(pdf, "id long, x double, y double")
+    got = set(polygon_mask(df, poly).toPandas()["id"])
+    want = {i for i, p in enumerate(keep) if halfplane_inside(np.array(p))}
+    assert got == want
