@@ -218,6 +218,7 @@ def rollup_tokens_native(
 def rollup_ladder_from_tokens(
     tokens_df: DataFrame,
     t0: str = "2024-01-01 00:00:00",
+    with_order_keys: bool = False,
 ) -> DataFrame:
     """ONE-PASS shuffle-free ladder: all three tiers (1m, 5m, 1h) from a
     single scan of the tokenized-sequence table. The 1m tier is reduced
@@ -235,8 +236,10 @@ def rollup_ladder_from_tokens(
     def _roll(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import numpy as np
 
-        def reduce_tier(d, bucket, n, s, mn, mx, fv, lv, seconds):
-            """Merge finer-tier group arrays into coarser buckets."""
+        def reduce_tier(d, bucket, n, s, mn, mx, fv, lv, fp, lp, seconds):
+            """Merge finer-tier group arrays into coarser buckets (order
+            keys ride along: groups are pos-sorted, so the coarse first is
+            the first fine group's first)."""
             b2 = bucket - bucket % seconds
             new = np.r_[True, (d[1:] != d[:-1]) | (b2[1:] != b2[:-1])]
             st = np.flatnonzero(new)
@@ -250,6 +253,8 @@ def rollup_ladder_from_tokens(
                 np.maximum.reduceat(mx, st),
                 fv[st],
                 lv[en - 1],
+                fp[st],
+                lp[en - 1],
             )
 
         for pdf in batches:
@@ -272,6 +277,7 @@ def rollup_ladder_from_tokens(
             st = np.flatnonzero(new)
             en = np.r_[st[1:], len(d)]
             vf = v.astype(np.float64)
+            p_kept = pos[keep]
             cur = (
                 d[st],
                 bucket[st],
@@ -281,6 +287,8 @@ def rollup_ladder_from_tokens(
                 np.maximum.reduceat(vf, st),
                 vf[st],
                 vf[en - 1],
+                p_kept[st],
+                p_kept[en - 1],
             )
             src_arr = pdf["source"].to_numpy()
             doc_arr = pdf["doc_id"].to_numpy()
@@ -288,30 +296,31 @@ def rollup_ladder_from_tokens(
             for tier, seconds in [("1m", None), ("5m", 300), ("1h", 3600)]:
                 if seconds is not None:
                     cur = reduce_tier(*cur, seconds)
-                td, tb, tn, ts_, tmn, tmx, tf, tl = cur
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "source": src_arr[td],
-                            "doc_id": doc_arr[td],
-                            "bucket_ts": pd.to_datetime(tb * 10**9),
-                            "n_obs": tn,
-                            "sum_val": ts_,
-                            "min_val": tmn,
-                            "max_val": tmx,
-                            "first_val": tf,
-                            "last_val": tl,
-                            "avg_val": ts_ / tn,
-                            "tier": tier,
-                        }
-                    )
-                )
+                td, tb, tn, ts_, tmn, tmx, tf, tl, tfp, tlp = cur
+                cols = {
+                    "source": src_arr[td],
+                    "doc_id": doc_arr[td],
+                    "bucket_ts": pd.to_datetime(tb * 10**9),
+                    "n_obs": tn,
+                    "sum_val": ts_,
+                    "min_val": tmn,
+                    "max_val": tmx,
+                    "first_val": tf,
+                    "last_val": tl,
+                    "avg_val": ts_ / tn,
+                    "tier": tier,
+                }
+                if with_order_keys:
+                    cols["first_pos"] = tfp
+                    cols["last_pos"] = tlp
+                frames.append(pd.DataFrame(cols))
             yield pd.concat(frames, ignore_index=True)
 
     schema = (
         "source string, doc_id string, bucket_ts timestamp, n_obs long, "
         "sum_val long, min_val double, max_val double, first_val double, "
         "last_val double, avg_val double, tier string"
+        + (", first_pos long, last_pos long" if with_order_keys else "")
     )
     return tokens_df.select("source", "doc_id", "tokens").mapInPandas(
         _roll, schema=schema

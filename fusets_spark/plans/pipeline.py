@@ -64,7 +64,11 @@ class RollupPipeline:
             return encode_blocks_from_tokens(
                 tokens, t0=self.t0, block_seconds=self.block_seconds
             )
-        ladder = rollup_ladder_from_tokens(tokens, t0=self.t0)
+        # order keys stored with every tier row so cross-batch partials for
+        # the same (series, bucket) — late data — merge EXACTLY on read
+        ladder = rollup_ladder_from_tokens(
+            tokens, t0=self.t0, with_order_keys=True
+        )
         return ladder.filter(ladder["tier"] == stage).drop("tier")
 
     def process_batch(
@@ -100,8 +104,19 @@ class RollupPipeline:
             fail_stage = fail_at[1] if fail_at and fail_at[0] == batch_id else None
             self.process_batch(batches[batch_id], batch_id, fail_stage)
 
-    def read_tier(self, spark: SparkSession, stage: str) -> DataFrame:
-        return spark.read.parquet(self.store.tier_path(stage))
+    def read_tier(
+        self, spark: SparkSession, stage: str, merged: bool = False
+    ) -> DataFrame:
+        """Read a tier. merged=True re-merges per-batch partial rows for
+        the same (series, bucket) — exact under late data because stored
+        rows carry first_pos/last_pos (see rollup.merge_tier_partials);
+        a no-op-by-value when batches never share a bucket."""
+        df = spark.read.parquet(self.store.tier_path(stage))
+        if merged and stage != "blocks":
+            from ..operators.rollup import merge_tier_partials
+
+            return merge_tier_partials(df)
+        return df
 
     def apply_retention(
         self, now: str, policy: dict[str, float | None] | None = None

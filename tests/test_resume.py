@@ -167,3 +167,39 @@ def test_retention_drops_old_batches_keeps_lineage(spark, tmp_path):
     assert got.select("batch").distinct().toPandas()["batch"].tolist() == ["b2"]
     # idempotent
     assert store.apply_retention({"1m": 5 * 86400.0}, now) == {}
+
+
+def test_late_data_merged_read_exact(spark, tmp_path):
+    """Late data end-to-end: the same doc's points arrive split across two
+    batches (masked halves of its token array). The merged tier read must
+    equal the single-pass rollup of the combined points EXACTLY — including
+    first/last, which merge by the stored order keys."""
+    from pyspark.sql import functions as F
+
+    from fusets_spark.operators.explode import explode_raw
+    from fusets_spark.operators.rollup import rollup_from_raw
+
+    toks = generate_tokens(spark, 12, seed=33, min_tok=64, max_tok=200)
+    even = toks.withColumn(
+        "tokens",
+        F.expr("transform(tokens, (t, i) -> CASE WHEN i % 2 = 0 THEN t ELSE -1 END)"),
+    )
+    odd = toks.withColumn(
+        "tokens",
+        F.expr("transform(tokens, (t, i) -> CASE WHEN i % 2 = 1 THEN t ELSE -1 END)"),
+    )
+    pipe = RollupPipeline(str(tmp_path / "late"))
+    pipe.run(spark, {"b-even": even, "b-odd": odd})
+
+    key = ["source", "doc_id", "bucket_ts"]
+    merged = pipe.read_tier(spark, "1m", merged=True).toPandas()
+    direct = rollup_from_raw(
+        explode_raw(toks), "1m", with_order_keys=True
+    ).toPandas()
+    cols = sorted(direct.columns)
+    merged = merged[cols].sort_values(key).reset_index(drop=True)
+    direct = direct[cols].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(merged, direct, check_dtype=False)
+    # the unmerged read genuinely contains cross-batch partials
+    raw = pipe.read_tier(spark, "1m").groupBy(*key).count()
+    assert raw.filter("count > 1").count() > 0
