@@ -34,6 +34,11 @@ from fusets_spark.operators.explode import DEFAULT_EPOCH  # noqa: F401 (re-expor
 from fusets_spark.operators.rollup import rollup_from_raw, rollup_from_tier
 
 SF0001 = "/root/testdata/sf0.001"
+# The driver's correctness gate compares queries() vs oracle_sql() at this
+# scale factor. Oracles that must embed data-derived literals (the IVF
+# quantizer centroids) regenerate them from THIS directory, so query ==
+# oracle is exact at the contract SF by construction.
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 def _rz(c, n: int):
@@ -149,7 +154,9 @@ def q_whittaker_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _event_points(spark, sf_dir).select(
         "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
     )
-    out = whittaker_gapfill(pts, lmbd=100.0, grid_seconds=3600, groups_per_source=8)
+    # group count inherits session.default_groups (defaultParallelism × 4,
+    # floored at 64) so solver parallelism scales with the cluster
+    out = whittaker_gapfill(pts, lmbd=100.0, grid_seconds=3600)
     return out.select(
         "source", "doc_id", "ts", F.round("value_smooth", 6).alias("value_smooth")
     )
@@ -1257,19 +1264,32 @@ QUALIFY rank <= {P['k']}
 
 def _ivf_oracle() -> str:
     """IVF ANN oracle: regenerate the SAME deterministic k-means centroids
-    (numpy on the first `sample` vec_ids) from the sf0.01 embeddings — the
-    scale factor the driver's correctness gate compares at — and mirror
-    assignment (argmin |c|²−2·v·c, ties → lowest cell), nprobe probing, and
-    exact cosine ranking in SQL."""
+    (numpy on the first `sample` vec_ids) from the ORACLE_SF_DIR embeddings
+    — the scale factor the driver's correctness gate compares at — and
+    mirror assignment (argmin |c|²−2·v·c, ties → lowest cell), nprobe
+    probing, and exact cosine ranking in SQL.
+
+    Parity scope: query == oracle holds exactly when the query runs at
+    ORACLE_SF_DIR (the driver contract), because q_ann_ivf_topk trains its
+    quantizer on the sf_dir it is given while a static SQL string can only
+    embed one centroid set. Fails loudly if the contract table is absent
+    rather than silently producing a mismatched oracle."""
+    import os
+
     import numpy as np
     import pyarrow.parquet as pq
 
     from fusets_spark.operators.similarity import kmeans_fit
 
     P = _IVF_PARAMS
-    tbl = pq.read_table(
-        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).to_pandas()
+    emb_path = f"{ORACLE_SF_DIR}/embeddings.parquet"
+    if not os.path.exists(emb_path):
+        raise FileNotFoundError(
+            f"IVF oracle needs the driver-contract embeddings table at "
+            f"{emb_path} (set via __spark_entry__.ORACLE_SF_DIR) to "
+            "regenerate the quantizer centroids the query trains at that SF"
+        )
+    tbl = pq.read_table(emb_path, columns=["vec_id", "embedding"]).to_pandas()
     tbl = tbl.sort_values("vec_id").head(P["sample"])
     X = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"]])
     C = kmeans_fit(X, P["n_cells"], P["iters"])

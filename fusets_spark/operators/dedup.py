@@ -16,6 +16,15 @@ Scale notes:
     (one boilerplate shingle shared by m docs is m²/2 join rows otherwise)
     and then verifies candidates with the EXACT Jaccard over full sets;
   * simhash is a pure per-row scan (higher-order array fold, zero shuffle).
+
+Cache lifetime: minhash_lsh_pairs and ngram_jaccard_pairs .persist() their
+signature/shingle tables so the self-join's two sides (and the frequency
+cap / exact-intersection branches) hit one InMemoryRelation instead of
+re-scanning the corpus. The cache is deliberately left alive for the
+SparkSession (these tables ARE the materialized index a production corpus
+keeps hot; Spark evicts LRU under memory pressure). Long-lived shared
+sessions running many one-shot dedups should call
+spark.catalog.clearCache() between ops (bench.py does).
 """
 
 from __future__ import annotations
@@ -174,22 +183,32 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
 
 
 def neardup_components(
-    docs: DataFrame, pairs: DataFrame, max_iter: int = 25
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 25,
+    _rounds_out: list | None = None,
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs + survivor
     selection — the step that turns PAIRS into a usable dedup at corpus
     scale (transitive closure: a~b, b~c ⇒ one cluster, keep one doc).
 
-    Iterative min-label propagation (the GraphX-free CC standard for
-    web-scale dedup): every doc starts labeled with itself; each round
-    pushes labels across edges and keeps the per-doc min; converges in
-    graph-diameter rounds (near-dup clusters are shallow), each round one
-    bounded equi-join + partial-agg groupBy. localCheckpoint() truncates
-    the iterative lineage so the plan does not grow per round. Docs with no
-    candidate pair are singleton components.
+    Iterative min-label propagation with POINTER JUMPING (the
+    large-star/small-star family): every doc starts labeled with itself;
+    each round (1) pushes labels across edges and keeps the per-doc min,
+    then (2) replaces each doc's label by its label's own label. Step (2)
+    halves the remaining pointer depth, so convergence is O(log diameter)
+    rounds — a chain of n duplicates (boilerplate-heavy corpora) resolves
+    in ~log2(n) rounds instead of n. Each round is two bounded equi-joins +
+    one partial-agg groupBy; localCheckpoint() truncates the iterative
+    lineage so the plan does not grow per round. Docs with no candidate
+    pair are singleton components.
+
+    Raises RuntimeError if max_iter rounds did not converge (silently
+    returning partially-propagated labels would produce WRONG components
+    that only an exact-closure oracle would catch).
 
     Output: (doc_id, component, is_survivor) with component = min doc_id of
-    the cluster, survivor = the min doc itself."""
+    the cluster, survivor = the min doc itself.
+    _rounds_out: optional list; the executed round count is appended
+    (test/metrics hook)."""
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     edges = (
         edges.unionByName(
@@ -201,14 +220,32 @@ def neardup_components(
     labels = docs.select(F.col("doc_id").alias("doc")).withColumn(
         "label", F.col("doc")
     ).localCheckpoint()
+    changed = -1
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         prop = edges.join(labels, edges["a"] == labels["doc"]).select(
             F.col("b").alias("doc"), "label"
         )
-        new_labels = (
+        hop = (
             labels.unionByName(prop)
             .groupBy("doc")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: label <- label(label). Every label is itself a
+        # doc id, and a parent's label is ≤ its own id by the min-fold
+        # invariant, so one extra self-join halves the pointer depth.
+        parent = hop.select(
+            F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            hop.join(parent, hop["label"] == parent["p_doc"], "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce("p_label", "label")
+                ).alias("label"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -222,6 +259,13 @@ def neardup_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iter} rounds — "
+            "pair graph deeper than expected; raise max_iter"
+        )
+    if _rounds_out is not None:
+        _rounds_out.append(rounds)
     return labels.select(
         F.col("doc").alias("doc_id"),
         F.col("label").alias("component"),

@@ -76,7 +76,14 @@ def _ranked_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
     """Partial top-k (TakeOrderedAndProject — no single-partition global
     sort), then rank ONLY the k survivors (window over ≤k rows)."""
     top = scored.orderBy(F.col("cos").desc(), F.col(id_col).asc()).limit(k)
-    w = Window.orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    # constant partition key: identical ≤k-row cost, but avoids the noisy
+    # (and at-scale alarming) WindowExec "No Partition Defined" warning.
+    # Must be NON-FOLDABLE (id*0, not lit(0)) or Spark 4's
+    # EliminateWindowPartitions folds it away and the warning returns.
+    top = top.withColumn("_p", F.col(id_col) * 0)
+    w = Window.partitionBy("_p").orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
     return top.withColumn("rank", F.row_number().over(w)).select(
         id_col,
         "label",

@@ -44,10 +44,17 @@ def focal_stats(
             for dy in range(-radius, radius + 1)
         ]
     )
+    # F.count/F.sum skip NULLs, not NaNs — null-out NaN doubles first so an
+    # actual NaN cell neither inflates n_nbr nor poisons f_mean/f_std
+    # (matches the reference's nan-masked count_valid division)
+    v = F.col(value_col)
+    valid = F.when(~F.isnan(v), v) if dict(grid.dtypes)[value_col] in (
+        "double", "float"
+    ) else v
     contrib = grid.select(
         F.col(x_col).alias("_sx"),
         F.col(y_col).alias("_sy"),
-        F.col(value_col).alias("_v"),
+        valid.alias("_v"),
         F.explode(offsets).alias("_o"),
     ).select(
         (F.col("_sx") + F.col("_o.dx")).alias("x"),

@@ -40,24 +40,60 @@ def second_diff_bands(n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return m0, m1, m2
 
 
-def whittaker_solve(Y: np.ndarray, W: np.ndarray, lmbd: float) -> np.ndarray:
+def per_series_bands(
+    lengths: np.ndarray, n_max: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row bands of D₂ᵀD₂ for series of individual length n_s inside a
+    padded (S, n_max) batch: penalty row k exists iff 0 ≤ k ≤ n_s−3, so
+    every band entry is an indicator sum — m0[j] = 1·[row j] + 4·[row j−1]
+    + 1·[row j−2], m1[j] = −2·[row j] − 2·[row j−1], m2[j] = [row j].
+    Beyond a series' own length all bands are 0, which makes the padded
+    factorization DECOUPLE exactly at the series boundary: the solution on
+    the real segment is bit-identical to an unpadded solve, so results
+    cannot depend on how series are batched (grouping-invariance)."""
+    ns = np.asarray(lengths, dtype=np.int64)[:, None]
+    j = np.arange(n_max)[None, :]
+    r0 = (j <= ns - 3).astype(np.float64)
+    r1 = ((j >= 1) & (j - 1 <= ns - 3)).astype(np.float64)
+    r2 = ((j >= 2) & (j - 2 <= ns - 3)).astype(np.float64)
+    m0 = r0 + 4.0 * r1 + r2
+    m1 = (-2.0 * r0 - 2.0 * r1)[:, : max(n_max - 1, 0)]
+    m2 = r0[:, : max(n_max - 2, 0)]
+    return m0, m1, m2
+
+
+def whittaker_solve(
+    Y: np.ndarray,
+    W: np.ndarray,
+    lmbd: float,
+    lengths: np.ndarray | None = None,
+) -> np.ndarray:
     """Solve (diag(w) + λ D₂ᵀD₂) z = w*y for each row of Y (shape S×n).
 
-    W rows may be 0/1 or arbitrary nonnegative weights. Fully-masked columns
-    (padding) must carry w=0 AND be beyond the series' own length — callers
-    pass per-series n via padding with w=0, which keeps the system SPD as
-    long as each series has ≥1 observed point (a tiny ridge guards the rest).
+    W rows may be 0/1 or arbitrary nonnegative weights. Rows of different
+    true lengths may be padded to a common n: pass `lengths` (per-row n_s,
+    padding cells carry w=0) and each row solves EXACTLY its own n_s-length
+    system — the per-series bands zero out beyond n_s, so the factorization
+    decouples at the boundary and padding cannot perturb the real segment
+    (without `lengths`, a long w=0 tail couples back through the smoothness
+    penalty + ridge and visibly bends sparse series). A tiny ridge keeps
+    padded/empty cells nonsingular without moving results.
     """
     Y = np.asarray(Y, dtype=np.float64)
     W = np.asarray(W, dtype=np.float64)
     S, n = Y.shape
     if n == 0:
         return Y.copy()
-    m0, m1, m2 = second_diff_bands(n)
     ridge = 1e-9  # keeps padded/empty rows nonsingular without moving results
+    if lengths is None:
+        m0, m1, m2 = second_diff_bands(n)
+        a1 = np.broadcast_to(lmbd * m1, (S, max(n - 1, 0)))
+        a2 = np.broadcast_to(lmbd * m2, (S, max(n - 2, 0)))
+    else:
+        m0, m1, m2 = per_series_bands(lengths, n)
+        a1 = lmbd * m1
+        a2 = lmbd * m2
     a0 = W + lmbd * m0 + ridge
-    a1 = np.broadcast_to(lmbd * m1, (S, max(n - 1, 0)))
-    a2 = np.broadcast_to(lmbd * m2, (S, max(n - 2, 0)))
     b = W * Y
 
     # banded LDLᵀ, time loop sequential, series axis vectorized
@@ -97,6 +133,7 @@ def whittaker_vcurve(
     Y: np.ndarray,
     W: np.ndarray,
     llas: np.ndarray | None = None,
+    lengths: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-series V-curve λ selection (Eilers' V-curve, the reference's
     `ws2doptv` path taken when smoothing_lambda < 0, whittaker.py:172-174):
@@ -114,10 +151,22 @@ def whittaker_vcurve(
     n_l = len(llas)
     fits = np.empty((n_l, S))
     pens = np.empty((n_l, S))
+    # with per-series lengths, only penalty rows inside each series count
+    # (the padded tail is exactly 0, so the boundary Δ² would be spurious)
+    d2_mask = (
+        None
+        if lengths is None
+        else (
+            np.arange(max(n - 2, 0))[None, :]
+            <= np.asarray(lengths)[:, None] - 3
+        )
+    )
     for i, la in enumerate(llas):
-        z = whittaker_solve(Y, W, 10.0**la)
+        z = whittaker_solve(Y, W, 10.0**la, lengths=lengths)
         fits[i] = np.sum(W * (Y - z) ** 2, axis=1)
         d2 = np.diff(z, 2, axis=1)
+        if d2_mask is not None:
+            d2 = d2 * d2_mask
         pens[i] = np.sum(d2**2, axis=1)
     eps = 1e-300
     lf = np.log10(fits + eps)
@@ -130,7 +179,10 @@ def whittaker_vcurve(
     # final solve batched per distinct selected λ (grid has few values)
     for lam in np.unique(lopt):
         sel = lopt == lam
-        z_final[sel] = whittaker_solve(Y[sel], W[sel], float(lam))
+        z_final[sel] = whittaker_solve(
+            Y[sel], W[sel], float(lam),
+            lengths=None if lengths is None else lengths[sel],
+        )
     return z_final, lopt
 
 
@@ -159,6 +211,7 @@ def whittaker_gapfill(
     grid_seconds: int = 86400,
     sample_every: int | None = None,
     groups_per_source: int | None = None,
+    n_groups: int | None = None,
     max_grid: int = 100_000,
 ) -> DataFrame:
     """Distributed gap-fill: dense-grid Whittaker smoothing per series.
@@ -167,61 +220,111 @@ def whittaker_gapfill(
     Output: (source, doc_id, ts, value_smooth) on each series' dense grid
     (optionally stride-sampled every `sample_every` grid steps).
 
-    Scale design: groups are (source, hash(doc_id) % groups_per_source) so one
-    applyInPandas call receives MANY whole series; they are padded to a
-    common grid length and solved as one (S, n_max) matrix. groups_per_source
-    tunes task granularity at cluster scale; results are independent of it.
+    Scale design: groups are hash buckets of the FULL series key
+    (source, doc_id) so one applyInPandas call receives MANY whole series;
+    they are padded to a common grid length and solved as one (S, n_max)
+    matrix. The total task count is `n_groups` (default
+    session.default_groups = defaultParallelism × 4) regardless of how many
+    sources exist — this kernel's cost is dominated by the sequential
+    O(n_grid) time loop which runs once PER GROUP (vectorized across that
+    group's series), so group count must track cluster parallelism, not
+    data cardinality (measured: 640 vs 40 groups on the same sf0.1 input =
+    2.3× slower). Within a group, series are sub-batched by grid-length
+    octave so short series are never padded to the longest one's grid.
+    Results are independent of the grouping (each series lives in exactly
+    one bucket).
+
+    groups_per_source: deprecated alias — multiplied by the source count it
+    no longer controls; kept so explicit callers still bound task count.
     """
 
     def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
         out_frames = []
-        pdf = pdf.sort_values(["doc_id", "ts"], kind="mergesort")
+        pdf = pdf.sort_values(["source", "doc_id", "ts"], kind="mergesort")
         epoch_all = pdf["ts"].astype("int64").to_numpy() // 10**9
         vals_all = pdf["value"].to_numpy(dtype=np.float64)
-        codes, starts = np.unique(pdf["doc_id"].to_numpy(), return_index=True)
+        src_all = pdf["source"].to_numpy()
+        doc_all = pdf["doc_id"].to_numpy()
+        # series boundaries on the (source, doc_id)-sorted frame
+        new = np.r_[
+            True, (src_all[1:] != src_all[:-1]) | (doc_all[1:] != doc_all[:-1])
+        ]
+        starts = np.flatnonzero(new)
         bounds = np.r_[starts, len(pdf)]
         series = []
-        for k in range(len(codes)):
+        for k in range(len(starts)):
             sl = slice(bounds[k], bounds[k + 1])
             ep, vv = epoch_all[sl], vals_all[sl]
             idx = ((ep - ep[0]) // grid_seconds).astype(np.int64)
             n = min(int(idx[-1]) + 1, max_grid)
             keep = idx < n
-            series.append((codes[k], ep[0], n, idx[keep], vv[keep]))
+            series.append(
+                (src_all[sl.start], doc_all[sl.start], ep[0], n,
+                 idx[keep], vv[keep])
+            )
         if not series:
             return pd.DataFrame(
                 columns=["source", "doc_id", "ts", "value_smooth"]
             )
-        n_max = max(s[2] for s in series)
-        S = len(series)
-        Y = np.zeros((S, n_max))
-        W = np.zeros((S, n_max))
-        for r, (_, _, n, idx, vv) in enumerate(series):
-            Y[r, idx] = vv
-            W[r, idx] = 1.0
-        Z = whittaker_solve(Y, W, lmbd)
-        src = pdf["source"].iloc[0]
-        for r, (doc, ep0, n, _, _) in enumerate(series):
-            take = np.arange(0, n, sample_every) if sample_every else np.arange(n)
-            grid = ep0 + grid_seconds * take
-            out_frames.append(
-                pd.DataFrame(
-                    {
-                        "source": src,
-                        "doc_id": doc,
-                        "ts": pd.to_datetime(grid * 10**9),
-                        "value_smooth": Z[r, take],
-                    }
+        # Length sub-batches: series with n in (n_lo, 8·n_lo] solve together.
+        # Correctness does NOT depend on this (per-series bands make padded
+        # solves exact); it only bounds wasted padded compute. The growth
+        # factor trades padding waste (≤8x on the worst row) against the
+        # number of sequential LDLᵀ time loops per group — the loop's
+        # per-iteration numpy overhead dominates at typical S, so fewer,
+        # wider batches win (measured on sf0.1).
+        order = sorted(range(len(series)), key=lambda r: series[r][3])
+        pos = 0
+        while pos < len(order):
+            n_lo = series[order[pos]][3]
+            end = pos
+            while end < len(order) and series[order[end]][3] <= 8 * n_lo:
+                end += 1
+            batch = order[pos:end]
+            pos = end
+            n_max = max(series[r][3] for r in batch)
+            S = len(batch)
+            Y = np.zeros((S, n_max))
+            W = np.zeros((S, n_max))
+            for b, r in enumerate(batch):
+                _, _, _, _, idx, vv = series[r]
+                Y[b, idx] = vv
+                W[b, idx] = 1.0
+            lens = np.asarray([series[r][3] for r in batch], dtype=np.int64)
+            Z = whittaker_solve(Y, W, lmbd, lengths=lens)
+            for b, r in enumerate(batch):
+                src, doc, ep0, n, _, _ = series[r]
+                take = (
+                    np.arange(0, n, sample_every)
+                    if sample_every
+                    else np.arange(n)
                 )
-            )
+                grid = ep0 + grid_seconds * take
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "source": src,
+                            "doc_id": doc,
+                            "ts": pd.to_datetime(grid * 10**9),
+                            "value_smooth": Z[b, take],
+                        }
+                    )
+                )
         return pd.concat(out_frames, ignore_index=True)
 
     from ..session import default_groups
 
-    groups_per_source = groups_per_source or default_groups(points)
+    if n_groups is None:
+        if groups_per_source is not None:
+            n_sources = points.select("source").distinct().count()
+            n_groups = groups_per_source * max(n_sources, 1)
+        else:
+            # per_core=2 (not the generic 4): this kernel pays a sequential
+            # O(n_grid) loop per group, so fewer/larger groups are faster as
+            # long as every core still gets ~2 tasks (measured: 64 vs 128
+            # groups at local[32] = 5.0 vs 5.8 s on sf0.1)
+            n_groups = default_groups(points, minimum=32, per_core=2)
     grouped = points.withColumn(
-        "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
+        "_g", F.pmod(F.xxhash64("source", "doc_id"), F.lit(n_groups))
     )
-    return grouped.groupBy("source", "_g").applyInPandas(
-        _smooth, schema=SMOOTH_SCHEMA
-    )
+    return grouped.groupBy("_g").applyInPandas(_smooth, schema=SMOOTH_SCHEMA)

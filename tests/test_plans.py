@@ -117,3 +117,28 @@ def test_broadcast_join_for_small_side(spark):
     spec.loader.exec_module(mod)
     plan = _plan(mod.queries()["cosine_topk"](spark, SF))
     assert "Broadcast" in plan
+
+
+def test_whittaker_groups_scale_with_parallelism(spark):
+    """The whittaker driver query must inherit session.default_groups (task
+    count scales with defaultParallelism) — a hardcoded group cap would
+    ceiling solver parallelism on a real cluster."""
+    import importlib.util
+
+    from fusets_spark.session import default_groups
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.queries()["whittaker_gapfill"](spark, SF)
+    # whittaker uses per_core=2/min 32 (sequential per-group loop — see
+    # whittaker_gapfill docstring); still scales with defaultParallelism
+    expected = default_groups(df, minimum=32, per_core=2)
+    assert expected == max(32, spark.sparkContext.defaultParallelism * 2)
+    # the bucket key literal appears in the plan: pmod(xxhash64(...), G)
+    plan = _plan(df)
+    assert f", {expected})" in plan.replace("L", ""), (
+        f"expected group count {expected} not found in plan"
+    )

@@ -203,3 +203,36 @@ def test_ivf_recall_vs_exact(spark):
     wide = ivf_topk(emb, 0, k=1000, n_cells=16, nprobe=8).toPandas()
     narrow = ivf_topk(emb, 0, k=1000, n_cells=16, nprobe=2).toPandas()
     assert set(narrow["vec_id"]) <= set(wide["vec_id"])
+
+
+def test_neardup_components_long_chain_logarithmic(spark):
+    """Adversarial worst case for min-label propagation: one chain of 1000
+    near-dups (pair i ~ i+1). Plain propagation needs ~1000 rounds (diameter)
+    — pointer jumping must resolve it in O(log n) and still label every doc
+    with the chain minimum."""
+    from fusets_spark.operators.dedup import neardup_components
+
+    n = 1000
+    docs = spark.range(n).selectExpr("id AS doc_id", "'x' AS text")
+    pairs = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    rounds: list[int] = []
+    got = neardup_components(docs, pairs, max_iter=20, _rounds_out=rounds)
+    comp = got.toPandas()
+    assert (comp["component"] == 0).all()
+    assert comp["is_survivor"].sum() == 1
+    # depth halves per round: ~log2(1000) + propagation slack
+    assert rounds[0] <= 15, f"chain of {n} took {rounds[0]} rounds"
+
+
+def test_neardup_components_raises_on_non_convergence(spark):
+    """Exiting via max_iter with labels still moving must raise, not return
+    silently-wrong components."""
+    import pytest as _pytest
+
+    from fusets_spark.operators.dedup import neardup_components
+
+    n = 64
+    docs = spark.range(n).selectExpr("id AS doc_id", "'x' AS text")
+    pairs = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components(docs, pairs, max_iter=1)

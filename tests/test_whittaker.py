@@ -109,3 +109,61 @@ def test_spark_gapfill_matches_local_oracle(spark):
     assert len(got) == len(want)
     assert np.allclose(got["value_smooth"], want["value_smooth"], atol=1e-6)
     assert (got["ts"].to_numpy() == want["ts"].to_numpy()).all()
+
+
+def test_padded_solve_bit_identical_with_lengths():
+    """Per-series bands decouple the factorization at each series' boundary:
+    a sparse series padded to ANY longer grid must solve bit-identically to
+    its unpadded solve (without lengths, the w=0 tail couples back through
+    the penalty + ridge and visibly bends sparse series — grouping-dependent
+    results at the operator level)."""
+    import numpy as np
+
+    from fusets_spark.operators.whittaker import whittaker_solve
+
+    rng = np.random.default_rng(7)
+    for n_obs, n in ((6, 374), (30, 50), (3, 3), (2, 10), (1, 5)):
+        idx = np.sort(rng.choice(n, size=min(n_obs, n), replace=False))
+        vv = rng.normal(size=len(idx)) * 100
+        ref_y = np.zeros((1, n))
+        ref_w = np.zeros((1, n))
+        ref_y[0, idx] = vv
+        ref_w[0, idx] = 1.0
+        z_ref = whittaker_solve(ref_y, ref_w, 100.0)[0]
+        for pad in (1, 100, 1000):
+            y = np.zeros((1, n + pad))
+            w = np.zeros((1, n + pad))
+            y[0, idx] = vv
+            w[0, idx] = 1.0
+            z = whittaker_solve(y, w, 100.0, lengths=np.array([n]))[0][:n]
+            assert (z == z_ref).all(), (n_obs, n, pad)
+
+
+def test_gapfill_grouping_invariant(spark):
+    """The distributed operator's output must not depend on how series are
+    hash-bucketed (exact equality, not approx)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fusets_spark.operators.whittaker import whittaker_gapfill
+
+    pts = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.col("event_type").alias("source"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        "ts",
+        "value",
+    )
+    a = (
+        whittaker_gapfill(pts, lmbd=100.0, grid_seconds=3600, n_groups=5)
+        .orderBy("source", "doc_id", "ts")
+        .toPandas()
+    )
+    b = (
+        whittaker_gapfill(pts, lmbd=100.0, grid_seconds=3600, n_groups=61)
+        .orderBy("source", "doc_id", "ts")
+        .toPandas()
+    )
+    assert len(a) == len(b)
+    av = a["value_smooth"].to_numpy(np.float64)
+    bv = b["value_smooth"].to_numpy(np.float64)
+    assert av.tobytes() == bv.tobytes()
