@@ -290,16 +290,23 @@ def q_phenometrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_peakvalley(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Peak/valley event mask (reference peakvalley.py:62-184) — sequential
-    state machine per series -> rows-only check; exact golden pairs pinned
-    in tests/test_kernels.py against the reference fixture."""
+    """Peak/valley event mask (reference peakvalley.py:62-184) — the
+    per-series sequential state machine, driver-verified against a DuckDB
+    oracle that replays the same machine with recursive CTEs
+    (_peakvalley_oracle): plateau-run peak/valley detection, the
+    fluctuation-merge fold, the backward slope-adjusted start scan and the
+    forward recovery scan. The kernel's NaN 'other' marker is projected to
+    NULL (same information; NULL is hash-comparable across engines)."""
     from fusets_spark.operators.peakvalley import peakvalley
 
     pts = _event_points(spark, sf_dir).select(
         "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
     )
     out = peakvalley(pts, drop_thr=50.0, rec_r=1.0, slope_thr=-0.5)
-    return out.select("source", "doc_id", "ts", "flag")
+    return out.select(
+        "source", "doc_id", "ts",
+        F.when(~F.isnan("flag"), F.col("flag")).alias("flag"),
+    )
 
 
 def q_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,8 +521,9 @@ def q_media_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full decode pipeline with the deterministic fake decoder (rows-only;
-    the real decoder needs media libs absent from this container)."""
+    """Full pixel-feature pipeline with the deterministic fake decoder
+    (rows-only; per-pixel decoding needs media libs absent from this
+    container — header decoding is REAL, see q_multimodal_decode)."""
     from fusets_spark.operators.multimodal import extract_media_features
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -523,6 +531,77 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
     )
     return extract_media_features(docs, fake=True)
+
+
+def _byte(c):  # 1-byte binary from an int column (0-255)
+    return F.unhex(F.lpad(F.hex(c), 2, "0"))
+
+
+def _be32(c):  # big-endian uint32 bytes
+    return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+
+def _le_bytes(c, n: int):  # little-endian n-byte binary
+    parts = []
+    for i in range(n):
+        parts.append(_byte(F.pmod(F.floor(c / F.lit(256**i)).cast("long"), F.lit(256))))
+    return F.concat(*parts)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media-header decode (PNG IHDR + WAV RIFF, pure byte parsing —
+    operators/multimodal.py:parse_media_header). Deterministic container
+    payloads are synthesized JVM-side from the documents table (even doc_id
+    -> PNG, odd -> WAV); the decoder extracts dimensions / channels /
+    sample rate / sample count from the actual bytes, and the DuckDB oracle
+    derives every parsed field + total byte count independently from the
+    same source columns — an end-to-end round-trip of construction+parsing
+    (a wrong byte order or offset in either stage breaks the match)."""
+    from fusets_spark.operators.multimodal import PNG_MAGIC, decode_media_headers
+
+    docs = _t(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    text_bytes = F.encode("text", "utf-8")
+    n_chars = F.length("text")
+    w = F.pmod(n_chars, F.lit(192)) + F.lit(64)
+    h = F.pmod(n_chars * 7 + 13, F.lit(192)) + F.lit(64)
+    png_payload = F.concat(
+        F.lit(PNG_MAGIC + b"\x00\x00\x00\x0dIHDR"),
+        _be32(w),
+        _be32(h),
+        # bit depth 8, color type 6 (RGBA), compression/filter/interlace 0,
+        # 4 CRC bytes (not validated by the header peek)
+        F.lit(b"\x08\x06\x00\x00\x00" + b"\x00" * 4),
+        text_bytes,
+    )
+    channels = F.pmod(F.floor(doc_id / F.lit(2)).cast("long"), F.lit(2)) + 1
+    sr = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(44100)),
+        (F.pmod(doc_id, F.lit(3)) + 1).cast("int"),
+    )
+    block = channels * 2  # 16-bit PCM
+    data_size = F.octet_length("text")
+    wav_payload = F.concat(
+        F.lit(b"RIFF"),
+        _le_bytes(data_size + 36, 4),
+        F.lit(b"WAVEfmt " + b"\x10\x00\x00\x00" + b"\x01\x00"),
+        _le_bytes(channels, 2),
+        _le_bytes(sr, 4),
+        _le_bytes(sr * block, 4),  # byte rate
+        _le_bytes(block, 2),
+        F.lit(b"\x10\x00data"),  # bits=16 LE, data chunk tag
+        _le_bytes(data_size, 4),
+        text_bytes,
+    )
+    src = docs.select(
+        doc_id.cast("string").alias("media_id"),
+        F.when(F.pmod(doc_id, F.lit(2)) == 0, png_payload)
+        .otherwise(wav_payload)
+        .alias("payload"),
+    )
+    # sha256 stays internal: DuckDB's sha256() is VARCHAR-only, so the
+    # oracle checks every PARSED header field + total byte count instead
+    return decode_media_headers(src).drop("sha256")
 
 
 def q_savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,6 +723,38 @@ def q_polygon_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("x", "y", F.round("value", 6).alias("cell_value"))
 
 
+def q_retention_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retention (north rule: per-tier horizons over the tier
+    store): the 1m tier is committed through TierStore in per-ISO-week
+    batches, apply_retention(keep=10 days, now=max event ts) drops whole
+    expired batch partitions (manifests flagged, lineage kept), and the
+    surviving tier rows are read back. Oracle = the same 1m rollup minus
+    the weeks whose max bucket_ts fell past the horizon — verifying the
+    metadata-driven expiry decision AND that surviving data is untouched."""
+    import tempfile
+
+    from fusets_spark.plans.lineage import TierStore
+
+    pts = _event_points(spark, sf_dir)
+    t1m = rollup_from_raw(pts, "1m", integer_values=False).withColumn(
+        "week", F.weekofyear("bucket_ts")
+    )
+    store = TierStore(tempfile.mkdtemp(prefix="fusets_retention_"))
+    weeks = sorted(
+        r["week"] for r in t1m.select("week").distinct().collect()
+    )  # bounded: one row per calendar week in the data
+    for w in weeks:
+        bid = f"w{w:02d}"
+        store.write_batch(
+            t1m.filter(F.col("week") == w).drop("week"), "1m", bid, "cfg"
+        )
+        store.commit_watermark("1m", bid)
+    now = str(pts.agg(F.max("ts")).collect()[0][0])
+    store.apply_retention({"1m": 10 * 86400.0}, now)
+    out = spark.read.parquet(store.tier_path("1m")).drop("batch")
+    return _round_rollup(out)
+
+
 def q_rollup_1m_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase SALTED rollup (north rule's hot-key skew defense):
     identical oracle as rollup_1m — the salt must not change one value."""
@@ -678,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "media_binary_meta": q_media_binary_meta,
+        "multimodal_decode": q_multimodal_decode,
         "multimodal_decode_stub": q_multimodal_decode_stub,
         "peakvalley": q_peakvalley,
         "harmonic_fit": q_harmonic_fit,
@@ -693,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_week_median": q_resample_week_median,
         "calendar_month_stats": q_calendar_month_stats,
         "phenometrics": q_phenometrics,
+        "retention_horizon": q_retention_horizon,
         "rollup_1m": _mk_rollup("1m"),
         "rollup_5m": _mk_rollup("5m"),
         "rollup_1h": _mk_rollup("1h"),
@@ -1478,6 +1591,45 @@ FROM sh GROUP BY doc_id
 """
 
 
+def _multimodal_oracle() -> str:
+    """Derive every header field of the synthetic PNG/WAV payloads directly
+    from the source columns — parsing parity for the real byte decoder."""
+
+    return """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id, doc_id,
+         length(text) AS n_chars,
+         octet_length(CAST(text AS BLOB)) AS nb
+  FROM documents
+), png AS (
+  SELECT media_id, 'image' AS media_type,
+         CAST(33 + nb AS BIGINT) AS n_bytes,
+         CAST(n_chars % 192 + 64 AS INT) AS width,
+         CAST((n_chars * 7 + 13) % 192 + 64 AS INT) AS height,
+         CAST(NULL AS INT) AS n_channels,
+         CAST(NULL AS INT) AS sample_rate,
+         CAST(NULL AS BIGINT) AS n_samples
+  FROM d WHERE doc_id % 2 = 0
+), wavp AS (
+  SELECT media_id, nb,
+         CAST((doc_id // 2) % 2 + 1 AS INT) AS ch,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+              ELSE 44100 END AS INT) AS sr
+  FROM d WHERE doc_id % 2 = 1
+), wav AS (
+  SELECT media_id, 'audio' AS media_type,
+         CAST(44 + nb AS BIGINT) AS n_bytes,
+         CAST(NULL AS INT) AS width,
+         CAST(NULL AS INT) AS height,
+         ch AS n_channels,
+         sr AS sample_rate,
+         CAST(nb // (ch * 2) AS BIGINT) AS n_samples
+  FROM wavp
+)
+SELECT * FROM png UNION ALL SELECT * FROM wav
+"""
+
+
 _GRID_SQL = f"""
   SELECT user_id % {_GRID_W} AS x,
          (user_id // {_GRID_W}) % {_GRID_H} AS y,
@@ -1636,6 +1788,213 @@ WHERE rec.r = coalesce(maxr.mr, 0)
 """
 
 
+def _peakvalley_oracle(
+    drop_thr: float = 50.0, rec_thr: float = 50.0, slope_thr: float = -0.5
+) -> str:
+    """Exact SQL replay of operators/peakvalley.py:peakvalley_series.
+
+    Stages (all per (source, doc_id), day = epoch-seconds/86400.0 exactly
+    as the kernel computes it):
+      1. plateau runs -> strict peaks (pv<v>nv) and valleys (pv>v<nv) at
+         the floored run midpoint (scipy find_peaks semantics);
+      2. boundary fixes: leading valley gets peak 0 prepended, trailing
+         peak gets valley n-1 appended; pairs = zip (alternation makes the
+         lists equal length);
+      3. recursive fold merging sub-recovery fluctuations while dropping
+         (merge iff pk2-vl1 < rec_thr AND vl2 < vl1 AND pk2 < pk1);
+      4. drop-depth filter (pk-vl > drop_thr);
+      5. recursive BACKWARD scan from each valley for the event start
+         (first index with drop > drop_thr, then slope1/slope2 adjustment
+         with the skip-next quirk, break otherwise);
+      6. recursive FORWARD scan from the valley for recovery (running min
+         until a rise > rec_thr marks the event eligible);
+      7. mask: interior 0, start-day 1, end-day -1, later events overwrite
+         earlier ones, end overwrites start within an event; NULL elsewhere.
+    """
+    return f"""
+WITH RECURSIVE p AS (
+  SELECT event_type AS source, CAST(user_id AS VARCHAR) AS doc_id, ts,
+         value AS v,
+         (epoch_us(ts) // 1000000) / 86400.0 AS day,
+         row_number() OVER wo - 1 AS idx,
+         count(*) OVER wp AS n
+  FROM events
+  WINDOW wo AS (PARTITION BY event_type, user_id ORDER BY ts),
+         wp AS (PARTITION BY event_type, user_id)
+), pn AS (
+  SELECT *,
+         lead(v) OVER wnb AS v_next, lead(day) OVER wnb AS d_next,
+         lag(v) OVER wnb AS v_prev, lag(day) OVER wnb AS d_prev
+  FROM p WINDOW wnb AS (PARTITION BY source, doc_id ORDER BY idx)
+), runs0 AS (
+  SELECT *, CASE WHEN lag(v) OVER wr0 IS NULL OR lag(v) OVER wr0 <> v
+                 THEN 1 ELSE 0 END AS newrun
+  FROM p WINDOW wr0 AS (PARTITION BY source, doc_id ORDER BY idx)
+), runs1 AS (
+  SELECT *, sum(newrun) OVER (PARTITION BY source, doc_id
+                              ORDER BY idx) AS run_id
+  FROM runs0
+), runs AS (
+  SELECT source, doc_id, run_id, any_value(v) AS v, any_value(n) AS n,
+         min(idx) AS fi, max(idx) AS li
+  FROM runs1 GROUP BY 1, 2, 3
+), rp AS (
+  SELECT *, lag(v) OVER wrp AS pv, lead(v) OVER wrp AS nv
+  FROM runs WINDOW wrp AS (PARTITION BY source, doc_id ORDER BY run_id)
+), ext AS (
+  SELECT source, doc_id, any_value(n) AS n,
+         list_sort(list((fi + li) // 2)
+           FILTER (WHERE pv IS NOT NULL AND nv IS NOT NULL
+                     AND v > pv AND v > nv)) AS pk,
+         list_sort(list((fi + li) // 2)
+           FILTER (WHERE pv IS NOT NULL AND nv IS NOT NULL
+                     AND v < pv AND v < nv)) AS vl
+  FROM rp GROUP BY 1, 2
+), fixed AS (
+  SELECT source, doc_id, n,
+         CASE WHEN vl[1] < pk[1]
+              THEN list_prepend(CAST(0 AS BIGINT), pk) ELSE pk END AS pk,
+         CASE WHEN vl[len(vl)] < pk[len(pk)]
+              THEN list_append(vl, n - 1) ELSE vl END AS vl
+  FROM ext WHERE len(pk) > 0 AND len(vl) > 0
+), pairs1 AS (
+  SELECT source, doc_id, n, len(pk) AS np,
+         unnest(range(1, len(pk) + 1)) AS i, pk, vl
+  FROM fixed
+), pairv0 AS (
+  SELECT source, doc_id, n, np, i, pk[i] AS pk_idx, vl[i] AS vl_idx
+  FROM pairs1
+), pairv AS (
+  SELECT pv0.*, fp.v AS pk_v, fv.v AS vl_v
+  FROM pairv0 pv0
+  JOIN p fp ON fp.source = pv0.source AND fp.doc_id = pv0.doc_id
+           AND fp.idx = pv0.pk_idx
+  JOIN p fv ON fv.source = pv0.source AND fv.doc_id = pv0.doc_id
+           AND fv.idx = pv0.vl_idx
+), mrec AS (  -- stage 3: sequential fluctuation merge
+  SELECT source, doc_id, n, np, 1 AS i,
+         pk_idx AS cpk, pk_v AS cpkv, vl_idx AS cvl, vl_v AS cvlv,
+         CAST([] AS STRUCT(pk BIGINT, pkv DOUBLE,
+                           vl BIGINT, vlv DOUBLE)[]) AS done
+  FROM pairv WHERE i = 1
+  UNION ALL
+  SELECT source, doc_id, n, np, i + 1,
+         CASE WHEN mg THEN cpk ELSE pk_idx END,
+         CASE WHEN mg THEN cpkv ELSE pk_v END,
+         vl_idx, vl_v,
+         CASE WHEN mg THEN done
+              ELSE list_append(done, {{'pk': cpk, 'pkv': cpkv,
+                                       'vl': cvl, 'vlv': cvlv}}) END
+  FROM (
+    SELECT m.*, nx.pk_idx, nx.pk_v, nx.vl_idx, nx.vl_v,
+           (nx.pk_v - m.cvlv < {rec_thr} AND nx.vl_v < m.cvlv
+            AND nx.pk_v < m.cpkv) AS mg
+    FROM mrec m
+    JOIN pairv nx ON nx.source = m.source AND nx.doc_id = m.doc_id
+                 AND nx.i = m.i + 1
+  )
+), deep AS (  -- stage 4: keep drops deeper than drop_thr
+  SELECT source, doc_id, n,
+         list_filter(
+           list_append(done, {{'pk': cpk, 'pkv': cpkv,
+                               'vl': cvl, 'vlv': cvlv}}),
+           s -> s.pkv - s.vlv > {drop_thr}) AS pairs
+  FROM mrec WHERE i = np
+), ev0 AS (
+  SELECT source, doc_id, n, unnest(range(1, len(pairs) + 1)) AS e, pairs
+  FROM deep
+), ev1 AS (
+  SELECT source, doc_id, n, e,
+         pairs[e].pk AS pk_idx, pairs[e].vl AS vl_idx, pairs[e].vlv AS vl_v,
+         CASE WHEN e < len(pairs) THEN pairs[e + 1].pk + 1 ELSE n END AS nxt
+  FROM ev0
+), srec AS (  -- stage 5: backward start scan (state machine, idx = ix-1)
+  SELECT source, doc_id, e, pk_idx, vl_v,
+         vl_idx AS ix, FALSE AS assigned, CAST(NULL AS BIGINT) AS start,
+         FALSE AS skip, FALSE AS brk
+  FROM ev1
+  UNION ALL
+  SELECT source, doc_id, e, pk_idx, vl_v,
+         ix - 1,
+         CASE WHEN skip THEN assigned WHEN dropc THEN TRUE
+              ELSE assigned END,
+         CASE WHEN skip THEN start
+              WHEN dropc THEN ix - 1
+              WHEN assigned AND s1 < {slope_thr} THEN ix - 1
+              WHEN assigned AND s1 >= {slope_thr} AND ix - 2 >= pk_idx
+                   AND s2 < {slope_thr} THEN ix - 2
+              ELSE start END,
+         (NOT skip AND NOT dropc AND assigned AND s1 >= {slope_thr}
+          AND ix - 2 >= pk_idx AND s2 < {slope_thr}),
+         (NOT skip AND NOT dropc AND assigned AND s1 >= {slope_thr}
+          AND (ix - 2 < pk_idx OR s2 >= {slope_thr}))
+  FROM (
+    SELECT s.*,
+           (q.v - s.vl_v > {drop_thr} AND NOT s.assigned) AS dropc,
+           (q.v_next - q.v) / (q.d_next - q.day) AS s1,
+           (q.v_next - q.v_prev) / (q.d_next - q.d_prev) AS s2
+    FROM srec s
+    JOIN pn q ON q.source = s.source AND q.doc_id = s.doc_id
+             AND q.idx = s.ix - 1
+    WHERE NOT s.brk AND s.ix - 1 >= s.pk_idx
+  )
+), sfin AS (
+  SELECT source, doc_id, e, start
+  FROM srec
+  QUALIFY row_number() OVER (PARTITION BY source, doc_id, e
+                             ORDER BY ix ASC) = 1
+), erec AS (  -- stage 6: forward recovery scan (running minimum)
+  SELECT source, doc_id, e, nxt,
+         vl_idx AS ix, vl_idx AS endi, vl_v AS endv,
+         FALSE AS eligible, FALSE AS brk
+  FROM ev1
+  UNION ALL
+  SELECT source, doc_id, e, nxt,
+         ix + 1,
+         CASE WHEN recov THEN endi WHEN qv < endv THEN ix + 1
+              ELSE endi END,
+         CASE WHEN recov THEN endv WHEN qv < endv THEN qv ELSE endv END,
+         eligible OR recov,
+         recov
+  FROM (
+    SELECT r.*, q.v AS qv, (q.v - r.endv > {rec_thr}) AS recov
+    FROM erec r
+    JOIN p q ON q.source = r.source AND q.doc_id = r.doc_id
+            AND q.idx = r.ix + 1
+    WHERE NOT r.brk AND r.ix + 1 < r.nxt
+  )
+), efin AS (
+  SELECT source, doc_id, e, endi, eligible
+  FROM erec
+  QUALIFY row_number() OVER (PARTITION BY source, doc_id, e
+                             ORDER BY ix DESC) = 1
+), evd AS (  -- stage 7: eligible events with start/end days
+  SELECT s.source, s.doc_id, s.e, ps.day AS s_day, pe.day AS e_day
+  FROM sfin s
+  JOIN efin f ON f.source = s.source AND f.doc_id = s.doc_id AND f.e = s.e
+  JOIN p ps ON ps.source = s.source AND ps.doc_id = s.doc_id
+           AND ps.idx = s.start
+  JOIN p pe ON pe.source = s.source AND pe.doc_id = s.doc_id
+           AND pe.idx = f.endi
+  WHERE f.eligible AND s.start IS NOT NULL
+), eff AS (
+  SELECT p.source, p.doc_id, p.ts,
+         CASE WHEN p.day = ev.e_day THEN -1.0
+              WHEN p.day = ev.s_day THEN 1.0
+              ELSE 0.0 END AS flag
+  FROM p
+  JOIN evd ev ON ev.source = p.source AND ev.doc_id = p.doc_id
+             AND p.day >= ev.s_day AND p.day <= ev.e_day
+  QUALIFY row_number() OVER (PARTITION BY p.source, p.doc_id, p.ts
+                             ORDER BY ev.e DESC) = 1
+)
+SELECT p.source, p.doc_id, p.ts, eff.flag
+FROM p
+LEFT JOIN eff ON eff.source = p.source AND eff.doc_id = p.doc_id
+             AND eff.ts = p.ts
+"""
+
+
 _OUTLIER_REMOVAL_ORACLE = """
 WITH p AS (
   SELECT event_type AS source, user_id AS doc_id, ts, value FROM events
@@ -1702,6 +2061,7 @@ FROM documents GROUP BY 1
         "lang_id": _LANGID_ORACLE,
         "token_counts": _TOKEN_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,
+        "multimodal_decode": _multimodal_oracle(),
         "media_binary_meta": """
 SELECT doc_id, 'image' AS media_type,
        octet_length(CAST(text AS BLOB)) AS n_bytes,
@@ -1738,6 +2098,7 @@ FROM events
 GROUP BY 1, 2, 3
 """,
         "phenometrics": _PHENO_ORACLE,
+        "peakvalley": _peakvalley_oracle(),
         "harmonic_fitted": _HARMONIC_FITTED_ORACLE,
         "gorilla_roundtrip": """
 SELECT event_type AS source,
@@ -1745,6 +2106,16 @@ SELECT event_type AS source,
        ts,
        value
 FROM events
+""",
+        "retention_horizon": f"""
+WITH r AS ({_ROLLUP_ORACLE.format(interval="1 minute")})
+SELECT source, doc_id, bucket_ts, n_obs, sum_val, min_val, max_val,
+       first_val, last_val, avg_val
+FROM (
+  SELECT *, max(bucket_ts) OVER (PARTITION BY week(bucket_ts)) AS batch_max
+  FROM r
+)
+WHERE batch_max >= (SELECT max(ts) FROM events) - INTERVAL 10 DAY
 """,
         "rollup_1m": _ROLLUP_ORACLE.format(interval="1 minute"),
         "rollup_5m": _ROLLUP_ORACLE.format(interval="5 minutes"),

@@ -1,15 +1,25 @@
 """Multimodal column plumbing (engine extension, round brief).
 
-Images/audio/video are opaque BinaryType columns with typed metadata. The
-Spark-side machinery — schema, partition-friendly batch shape, Arrow UDF
-signatures — is real and tested; the actual media decoding is STUBBED
-(this container has no image/audio libraries): `decode_image` raises
-NotImplementedError unless `fake=True`, in which case a deterministic fake
-decoder (sha-seeded dimensions, mean "pixel" from byte stats) exercises the
-full pipeline.
+Images/audio/video are opaque BinaryType columns with typed metadata.
 
-Production swap-in: replace `_decode_one` with PIL/libvips/ffmpeg calls —
-the mapInPandas batch shape (bytes in, struct rows out) is unchanged.
+REAL decode path — `decode_media_headers`: container-detection + header
+parsing for two dependency-free formats, implemented from their public
+byte layouts:
+  * PNG — 8-byte signature then the IHDR chunk; width/height are the
+    big-endian uint32s at bytes 16-19 / 20-23 (PNG spec §5.2, §11.2.2);
+  * WAV — RIFF/WAVE container with a 'fmt ' chunk; channels (uint16 LE at
+    22), sample rate (uint32 LE at 24), bits (uint16 LE at 34) and the
+    'data' chunk size at 40 (canonical 44-byte header).
+Runs as a pure-Python mapInPandas over Arrow byte batches (header peeks —
+no per-pixel work), so it needs no media libraries and is exactly
+SQL-mirrorable (the driver oracle derives every parsed field independently
+and compares).
+
+STUBBED pixel path — `extract_media_features`: full pixel/sample decoding
+(PIL/libvips/ffmpeg) is absent from this container; `_decode_one` raises
+NotImplementedError unless `fake=True`, in which case a deterministic fake
+decoder exercises the pipeline shape. Production swap-in replaces
+`_decode_one` only — batch shape (bytes in, struct rows out) is unchanged.
 """
 
 from __future__ import annotations
@@ -21,6 +31,76 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+HEADER_SCHEMA = (
+    "media_id string, media_type string, n_bytes long, sha256 string, "
+    "width int, height int, n_channels int, sample_rate int, n_samples long"
+)
+
+
+def parse_media_header(b: bytes) -> tuple:
+    """(media_type, width, height, n_channels, sample_rate, n_samples) from
+    raw container bytes; unknown containers -> ('unknown', None, ...)."""
+    if len(b) >= 24 and b[:8] == PNG_MAGIC and b[12:16] == b"IHDR":
+        width = int.from_bytes(b[16:20], "big")
+        height = int.from_bytes(b[20:24], "big")
+        return ("image", width, height, None, None, None)
+    if (
+        len(b) >= 44
+        and b[:4] == b"RIFF"
+        and b[8:12] == b"WAVE"
+        and b[12:16] == b"fmt "
+    ):
+        channels = int.from_bytes(b[22:24], "little")
+        sample_rate = int.from_bytes(b[24:28], "little")
+        bits = int.from_bytes(b[34:36], "little")
+        n_samples = None
+        if b[36:40] == b"data":
+            block = max(channels * (bits // 8), 1)
+            n_samples = int.from_bytes(b[40:44], "little") // block
+        return ("audio", None, None, channels, sample_rate, n_samples)
+    return ("unknown", None, None, None, None, None)
+
+
+def decode_media_headers(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Typed metadata from real container bytes (PNG IHDR / WAV RIFF) — a
+    mapInPandas header peek, one output row per media item."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload)
+                kind, w, h, ch, sr, ns = parse_media_header(data)
+                rows.append(
+                    (
+                        str(mid),
+                        kind,
+                        len(data),
+                        hashlib.sha256(data).hexdigest(),
+                        w,
+                        h,
+                        ch,
+                        sr,
+                        ns,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "n_bytes", "sha256",
+                    "width", "height", "n_channels", "sample_rate",
+                    "n_samples",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _run, schema=HEADER_SCHEMA
+    )
 
 MEDIA_SCHEMA = (
     "media_id string, media_type string, n_bytes long, sha256 string, "

@@ -192,3 +192,72 @@ def test_ccdc_segments_spark_partition_invariant(spark):
     n_seg = a.groupby("doc_id")["segment"].count()
     assert (n_seg[[f"doc{d}" for d in (1, 3, 5)]] >= 2).all()
     assert (n_seg[[f"doc{d}" for d in (0, 2, 4)]] == 1).all()
+
+
+def test_peakvalley_oracle_equivalence_randomized():
+    """The recursive-CTE SQL replay (_peakvalley_oracle) must equal the
+    numpy kernel on adversarial synthetic series — plateaus, monotonic
+    runs, tiny series, deep drops — not just on the driver dataset."""
+    import importlib.util
+    import sys
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from fusets_spark.operators.peakvalley import peakvalley_series
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["__spark_entry__"] = mod
+    spec.loader.exec_module(mod)
+    sql = mod.oracle_sql()["peakvalley"]
+
+    rng = np.random.default_rng(42)
+    rows = []
+    kinds = ["walk", "plateau", "mono_up", "mono_down", "vee", "spiky"]
+    for s in range(60):
+        n = int(rng.integers(1, 40))
+        kind = kinds[s % len(kinds)]
+        if kind == "walk":
+            y = np.cumsum(rng.normal(0, 40, n))
+        elif kind == "plateau":
+            y = np.repeat(rng.normal(0, 80, max(n // 3, 1)), 3)[:n]
+        elif kind == "mono_up":
+            y = np.sort(rng.normal(0, 60, n))
+        elif kind == "mono_down":
+            y = -np.sort(rng.normal(0, 60, n))
+        elif kind == "vee":
+            y = np.abs(np.arange(n) - n / 2) * rng.uniform(10, 60)
+        else:
+            y = rng.normal(0, 120, n)
+        y = np.round(y, 3)  # exact in float64 both engines
+        # irregular spacing in whole hours -> day floats match both sides
+        secs = np.cumsum(rng.integers(1, 72, n)) * 3600
+        for t, v in zip(secs, y):
+            rows.append(("k", s, int(t), float(v)))
+    pdf = pd.DataFrame(rows, columns=["event_type", "user_id", "sec", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["sec"], unit="s")
+    con = duckdb.connect()
+    con.register("events_src", pdf[["event_type", "user_id", "ts", "value"]])
+    con.execute("CREATE VIEW events AS SELECT * FROM events_src")
+    got = con.execute(sql).df()
+
+    for s, g in pdf.groupby("user_id"):
+        day = g["sec"].to_numpy() / 86400.0
+        mask, _ = peakvalley_series(
+            day, g["value"].to_numpy(np.float64),
+            drop_thr=50.0, rec_r=1.0, slope_thr=-0.5,
+        )
+        o = (
+            got[got["doc_id"] == str(s)]
+            .sort_values("ts")["flag"]
+            .to_numpy(np.float64)
+        )
+        want = mask  # NaN in kernel == NULL->NaN in pandas
+        assert len(o) == len(want), s
+        same = (o == want) | (np.isnan(o) & np.isnan(want))
+        assert same.all(), f"series {s} ({kinds[s % len(kinds)]}): " \
+            f"kernel={want.tolist()} oracle={o.tolist()}"

@@ -236,3 +236,57 @@ def test_neardup_components_raises_on_non_convergence(spark):
     pairs = spark.range(n - 1).selectExpr("id AS doc_a", "id + 1 AS doc_b")
     with _pytest.raises(RuntimeError, match="did not converge"):
         neardup_components(docs, pairs, max_iter=1)
+
+
+def test_parse_media_header_real_bytes():
+    """Header parser vs independently struct-packed PNG/WAV bytes (not the
+    Spark-side construction — a shared byte-order mistake would cancel)."""
+    import struct
+    import zlib
+
+    from fusets_spark.operators.multimodal import parse_media_header
+
+    ihdr = struct.pack(">II5B", 640, 480, 8, 6, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    assert parse_media_header(png) == ("image", 640, 480, None, None, None)
+
+    n_samples, channels, sr, bits = 1000, 2, 44100, 16
+    block = channels * bits // 8
+    data = b"\x00" * (n_samples * block)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, sr,
+                                sr * block, block, bits)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    assert parse_media_header(wav) == ("audio", None, None, 2, 44100, 1000)
+
+    assert parse_media_header(b"plain text")[0] == "unknown"
+    assert parse_media_header(b"")[0] == "unknown"
+
+
+def test_decode_media_headers_distributed(spark):
+    """The mapInPandas wrapper returns one typed row per payload."""
+    import struct
+
+    from fusets_spark.operators.multimodal import decode_media_headers
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II5B", 3, 7, 8, 6, 0, 0, 0) + b"\x00" * 4
+    )
+    df = spark.createDataFrame(
+        [("a", bytearray(png)), ("b", bytearray(b"junk"))],
+        "media_id string, payload binary",
+    )
+    got = (
+        decode_media_headers(df).toPandas().set_index("media_id").sort_index()
+    )
+    assert got.loc["a", "media_type"] == "image"
+    assert got.loc["a", "width"] == 3 and got.loc["a", "height"] == 7
+    assert got.loc["b", "media_type"] == "unknown"
+    assert got.loc["a", "n_bytes"] == len(png)
