@@ -1788,6 +1788,121 @@ WHERE rec.r = coalesce(maxr.mr, 0)
 """
 
 
+def _whittaker_oracle(
+    lmbd: float = 100.0, grid_seconds: int = 3600, max_grid: int = 100_000
+) -> str:
+    """Exact SQL replay of operators/whittaker.py:whittaker_gapfill.
+
+    The banded LDLᵀ solve is three LINEAR RECURRENCES per series, so it is
+    recursive-CTE-expressible with bit-level fidelity (same IEEE ops in the
+    same order as the numpy kernel):
+      cells: dense per-series grid from first to last obs at grid_seconds;
+             observed cells carry w=1/y=v (last obs in a cell wins), gaps
+             w=0; bands of D2'D2 from the closed-form indicator sums;
+             a0 = w + λ·m0 + ridge(1e-9).
+      fwd:   factorization + forward substitution in one pass —
+             l2_i = a2[i-2]/d[i-2];
+             l1_i = (a1[i-1] − l2_i·l1[i-1]·d[i-2])/d[i-1];
+             d_i  = a0[i] − l1_i²·d[i-1] − l2_i²·d[i-2];
+             c_i  = b[i] − l1_i·c[i-1] − l2_i·c[i-2]   (b = w·y),
+             with l1/l2 = 0 below their first defined index (matching the
+             kernel's zero-initialized arrays).
+      bwd:   z_i = c_i/d_i − l1[i+1]·z[i+1] − l2[i+2]·z[i+2].
+    """
+    return f"""
+WITH RECURSIVE obs AS (
+  SELECT event_type AS source, CAST(user_id AS VARCHAR) AS doc_id, ts,
+         epoch_us(ts) // 1000000 AS eps, value AS v
+  FROM events
+), span AS (
+  SELECT source, doc_id, min(eps) AS ep0,
+         least((max(eps) - min(eps)) // {grid_seconds} + 1,
+               {max_grid}) AS n
+  FROM obs GROUP BY 1, 2
+), cellobs AS (  -- last assignment per grid cell wins (kernel Y[idx]=v)
+  SELECT o.source, o.doc_id, (o.eps - s.ep0) // {grid_seconds} AS i, o.v
+  FROM obs o
+  JOIN span s ON s.source = o.source AND s.doc_id = o.doc_id
+  WHERE (o.eps - s.ep0) // {grid_seconds} < s.n  -- kernel max_grid cap
+  QUALIFY row_number() OVER (
+    PARTITION BY o.source, o.doc_id, (o.eps - s.ep0) // {grid_seconds}
+    ORDER BY o.ts DESC) = 1
+), grid AS MATERIALIZED (
+  SELECT source, doc_id, ep0, n, unnest(range(0, n)) AS i FROM span
+), bands AS (
+  SELECT g.source, g.doc_id, g.ep0, g.n, g.i,
+         CASE WHEN c.v IS NULL THEN 0.0 ELSE 1.0 END AS w,
+         coalesce(c.v, 0.0) AS y,
+         -- m0(i,n) = [i<=n-3] + 4*[1<=i<=n-2] + [2<=i<=n-1]
+         (CASE WHEN g.i <= g.n - 3 THEN 1.0 ELSE 0.0 END
+          + CASE WHEN g.i >= 1 AND g.i <= g.n - 2 THEN 4.0 ELSE 0.0 END
+          + CASE WHEN g.i >= 2 THEN 1.0 ELSE 0.0 END) AS m0,
+         -- m1(i-1,n): entries in {{0,-2,-4}}; CASE keeps +0.0 like numpy
+         (CASE WHEN g.i >= 1 THEN
+            CASE (CASE WHEN g.i - 1 <= g.n - 3 THEN 1 ELSE 0 END)
+               + (CASE WHEN g.i >= 2 AND g.i - 2 <= g.n - 3
+                  THEN 1 ELSE 0 END)
+              WHEN 0 THEN 0.0 WHEN 1 THEN -2.0 ELSE -4.0 END
+          ELSE 0.0 END) AS m1_im1,
+         -- m2(i-2,n) = [i>=2 and i-2<=n-3]
+         (CASE WHEN g.i >= 2 AND g.i - 2 <= g.n - 3
+               THEN 1.0 ELSE 0.0 END) AS m2_im2
+  FROM grid g
+  LEFT JOIN cellobs c ON c.source = g.source AND c.doc_id = g.doc_id
+                     AND c.i = g.i
+), cells AS MATERIALIZED (
+  SELECT source, doc_id, ep0, n, i,
+         w + {lmbd} * m0 + 1e-9 AS a0,
+         {lmbd} * m1_im1 AS a1_im1,
+         {lmbd} * m2_im2 AS a2_im2,
+         w * y AS b
+  FROM bands
+), fwd AS (  -- factorize + forward-substitute; state = (d, c) at i and i-1
+  SELECT source, doc_id, n, 0 AS i,
+         a0 AS d, 0.0::DOUBLE AS l1, 0.0::DOUBLE AS l2, b AS c,
+         0.0::DOUBLE AS d_prev, 0.0::DOUBLE AS c_prev
+  FROM cells WHERE i = 0
+  UNION ALL
+  SELECT s.source, s.doc_id, s.n, s.i,
+         s.a0 - s.l1n * s.l1n * s.d - s.l2n * s.l2n * s.d_prev AS d,
+         s.l1n AS l1, s.l2n AS l2,
+         s.b - s.l1n * s.c - s.l2n * s.c_prev AS c,
+         s.d AS d_prev, s.c AS c_prev
+  FROM (
+    SELECT f.source, f.doc_id, f.n, x.i, x.a0, x.b,
+           f.d, f.c, f.d_prev, f.c_prev,
+           CASE WHEN x.i >= 2 THEN x.a2_im2 / f.d_prev ELSE 0.0 END AS l2n,
+           (x.a1_im1
+            - CASE WHEN x.i >= 2 THEN x.a2_im2 / f.d_prev ELSE 0.0 END
+              * f.l1 * f.d_prev) / f.d AS l1n
+    FROM fwd f
+    JOIN cells x ON x.source = f.source AND x.doc_id = f.doc_id
+                AND x.i = f.i + 1
+  ) s
+), fstep AS MATERIALIZED (
+  SELECT source, doc_id, n, i, d, l1, l2, c / d AS cd FROM fwd
+), bwd AS (  -- back substitution, downward
+  SELECT source, doc_id, n - 1 AS i, cd AS z,
+         cd AS z1, 0.0::DOUBLE AS z2, l1 AS l1_j1, l2 AS l2_j1,
+         0.0::DOUBLE AS l2_j2
+  FROM fstep WHERE i = n - 1
+  UNION ALL
+  SELECT b.source, b.doc_id, x.i,
+         x.cd - b.l1_j1 * b.z1 - b.l2_j2 * b.z2 AS z,
+         x.cd - b.l1_j1 * b.z1 - b.l2_j2 * b.z2 AS z1,
+         b.z1 AS z2, x.l1 AS l1_j1, x.l2 AS l2_j1, b.l2_j1 AS l2_j2
+  FROM bwd b
+  JOIN fstep x ON x.source = b.source AND x.doc_id = b.doc_id
+              AND x.i = b.i - 1
+)
+SELECT g.source, g.doc_id,
+       make_timestamp((g.ep0 + {grid_seconds} * g.i) * 1000000) AS ts,
+       round(z.z, 6) + 0.0 AS value_smooth
+FROM grid g
+JOIN bwd z ON z.source = g.source AND z.doc_id = g.doc_id AND z.i = g.i
+"""
+
+
 def _peakvalley_oracle(
     drop_thr: float = 50.0, rec_thr: float = 50.0, slope_thr: float = -0.5
 ) -> str:
@@ -2098,6 +2213,7 @@ FROM events
 GROUP BY 1, 2, 3
 """,
         "phenometrics": _PHENO_ORACLE,
+        "whittaker_gapfill": _whittaker_oracle(),
         "peakvalley": _peakvalley_oracle(),
         "harmonic_fitted": _HARMONIC_FITTED_ORACLE,
         "gorilla_roundtrip": """
