@@ -123,6 +123,63 @@ def _mk_rollup(tier: str) -> Callable[[SparkSession, str], DataFrame]:
     return q
 
 
+def q_stream_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of rollup_1m (north rule continuous
+    aggregate, SURVEY.md §2.8): the same windowed-aggregate plan run through
+    the real readStream -> trigger(availableNow) -> sink path, returned as a
+    batch frame once the stream drains. Complete output mode emits every
+    window so the driver can compare against the batch oracle exactly; the
+    production shape (append mode + watermark finalization + parquet sink +
+    exactly-once checkpoint) is streaming/rollup_stream.start_file_stream_
+    rollup, pinned by tests/test_streaming.py. first/last use
+    min/max(struct(pos, value)) — the streaming-legal argmin/argmax.
+    Oracle: identical SQL as rollup_1m — streaming must not change one
+    value."""
+    import uuid
+
+    from fusets_spark.streaming.rollup_stream import stream_rollup_df
+
+    import os
+    import tempfile
+
+    # _t() side effects (UTC pin + package shipping) without a batch read
+    _t(spark, sf_dir, "events")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the streaming file source requires a DIRECTORY to watch; the test
+    # fixture is a single parquet file, so watch a temp dir holding a
+    # symlink to it (zero copy)
+    watch_dir = tempfile.mkdtemp(prefix="fusets_stream_src_")
+    os.symlink(path, os.path.join(watch_dir, "events.parquet"))
+    stream = spark.readStream.schema(schema).parquet(watch_dir).select(
+        F.col("event_type").alias("source"),
+        F.col("user_id").alias("doc_id"),
+        F.col("event_id").alias("pos"),
+        # watermarks require an instant (TIMESTAMP); parquet reads NTZ.
+        # Session tz is pinned UTC so the cast is wall-value-preserving.
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    name = "stream_rollup_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_rollup_df(stream, tier_seconds=60, integer_values=False)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(600):
+            raise TimeoutError("streaming rollup did not drain in 600s")
+    finally:
+        q.stop()
+    out = spark.table(name).withColumn(
+        "bucket_ts", F.col("bucket_ts").cast("timestamp_ntz")
+    )
+    return _round_rollup(out)
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style multi-aggregate (reference analog: the 18-metric
     phenology groupBy, SURVEY.md §2.4) — exercises partial+final agg."""
@@ -164,7 +221,11 @@ def q_whittaker_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla DoD+XOR block codec (north rule): encode the event stream into
-    per-(series, 1h-bucket) binary blocks, decode, and return restored points.
+    per-(series, 1-day-bucket) binary blocks, decode, and return restored
+    points. Daily buckets give ~5 points/block on the sparse event grid so
+    the verified path exercises the multi-point delta-of-delta and XOR
+    codeword branches (1h buckets yielded 1.01 points/block — header-only
+    blocks that never touch the variable-length codes).
 
     The oracle checks encode∘decode == identity: the restored points must
     equal the plain projection of the input (SQL-expressible!)."""
@@ -173,8 +234,29 @@ def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _event_points(spark, sf_dir).select(
         "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
     )
-    blocks = encode_blocks(pts, block_seconds=3600)
+    blocks = encode_blocks(pts, block_seconds=86400)
     return decode_blocks(blocks).select("source", "doc_id", "ts", "value")
+
+
+def q_block_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-store compaction (north-rule retention path): 1h Gorilla
+    blocks are compacted into 1-day blocks (whole blocks regrouped +
+    re-encoded, never split), then decoded. The oracle checks
+    decode∘compact∘encode == identity; byte-identity of compacted blocks
+    vs direct coarse encoding (incl. compaction composition) is pinned in
+    tests/test_codec.py."""
+    from fusets_spark.codec.blocks import (
+        compact_blocks,
+        decode_blocks,
+        encode_blocks,
+    )
+
+    pts = _event_points(spark, sf_dir).select(
+        "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
+    )
+    fine = encode_blocks(pts, block_seconds=3600)
+    daily = compact_blocks(fine, 86400)
+    return decode_blocks(daily).select("source", "doc_id", "ts", "value")
 
 
 def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,6 +837,58 @@ def q_retention_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_rollup(out)
 
 
+def q_late_data_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule late data end-to-end: the event stream is committed in TWO
+    batches — on-time (~80%) and late (every 5th event, arriving after its
+    bucket was already materialized) — through the TierStore, and the tier
+    is read back with merge_tier_partials. The result must equal a
+    single-pass rollup EXACTLY (the oracle never sees the split).
+
+    Uses per-(source, 1h) granularity and integer values (milli-floored —
+    the north rule's token domain is integer) so buckets genuinely contain
+    points from BOTH batches (~4 obs/bucket; per-series event buckets hold
+    ~1 obs and would never merge) and partial sums are bit-exact under any
+    merge order. first/last merge through the stored order keys
+    (first_pos/last_pos), the part a naive re-aggregation gets wrong."""
+    import tempfile
+
+    from fusets_spark.operators.rollup import (
+        merge_tier_partials,
+        rollup_from_raw,
+    )
+    from fusets_spark.plans.lineage import TierStore
+
+    pts = _event_points(spark, sf_dir).select(
+        "source",
+        F.lit("all").alias("doc_id"),
+        "pos",
+        "ts",
+        F.floor(F.col("value") * 1000).cast("long").alias("value"),
+    )
+    store = TierStore(tempfile.mkdtemp(prefix="fusets_latedata_"))
+    for bid, pred in (
+        ("b1-ontime", F.pmod("pos", F.lit(5)) != 0),
+        ("b2-late", F.pmod("pos", F.lit(5)) == 0),
+    ):
+        part = rollup_from_raw(pts.filter(pred), "1h", with_order_keys=True)
+        store.write_batch(part, "1h", bid, "cfg")
+        store.commit_watermark("1h", bid)
+    tier = spark.read.parquet(store.tier_path("1h")).drop("batch")
+    merged = merge_tier_partials(tier)
+    return merged.select(
+        "source",
+        "doc_id",
+        "bucket_ts",
+        "n_obs",
+        "sum_val",
+        "min_val",
+        "max_val",
+        "first_val",
+        "last_val",
+        F.round("avg_val", 6).alias("avg_val"),
+    )
+
+
 def q_rollup_1m_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase SALTED rollup (north rule's hot-key skew defense):
     identical oracle as rollup_1m — the salt must not change one value."""
@@ -806,6 +940,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_month_stats": q_calendar_month_stats,
         "phenometrics": q_phenometrics,
         "retention_horizon": q_retention_horizon,
+        "stream_rollup_1m": q_stream_rollup_1m,
+        "late_data_merge": q_late_data_merge,
+        "block_compaction": q_block_compaction,
         "rollup_1m": _mk_rollup("1m"),
         "rollup_5m": _mk_rollup("5m"),
         "rollup_1h": _mk_rollup("1h"),
@@ -2223,6 +2360,13 @@ SELECT event_type AS source,
        value
 FROM events
 """,
+        "block_compaction": """
+SELECT event_type AS source,
+       CAST(user_id AS VARCHAR) AS doc_id,
+       ts,
+       value
+FROM events
+""",
         "retention_horizon": f"""
 WITH r AS ({_ROLLUP_ORACLE.format(interval="1 minute")})
 SELECT source, doc_id, bucket_ts, n_obs, sum_val, min_val, max_val,
@@ -2232,6 +2376,22 @@ FROM (
   FROM r
 )
 WHERE batch_max >= (SELECT max(ts) FROM events) - INTERVAL 10 DAY
+""",
+        "stream_rollup_1m": _ROLLUP_ORACLE.format(interval="1 minute"),
+        "late_data_merge": """
+SELECT event_type AS source, 'all' AS doc_id,
+       time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+       count(fv) AS n_obs,
+       CAST(sum(fv) AS BIGINT) AS sum_val,
+       min(fv) AS min_val,
+       max(fv) AS max_val,
+       arg_min(fv, event_id) AS first_val,
+       arg_max(fv, event_id) AS last_val,
+       round(CAST(sum(fv) AS BIGINT) / count(fv), 6) + 0.0 AS avg_val
+FROM (
+  SELECT *, CAST(floor(value * 1000) AS BIGINT) AS fv FROM events
+)
+GROUP BY 1, 2, 3
 """,
         "rollup_1m": _ROLLUP_ORACLE.format(interval="1 minute"),
         "rollup_5m": _ROLLUP_ORACLE.format(interval="5 minutes"),

@@ -45,8 +45,11 @@ N_DOCS = int(os.environ.get("BENCH_N_DOCS", "800000"))
 # ~free — the min estimator needs ONE clean window per level and the box's
 # phantom load makes any single window a coin flip
 ROUNDS = int(os.environ.get("BENCH_SCALING_REPS", "2"))
-RUNS_LO = int(os.environ.get("BENCH_RUNS_PER_LEVEL", "2"))
+RUNS_LO = int(os.environ.get("BENCH_RUNS_PER_LEVEL", "1"))
 RUNS_HI = RUNS_LO + 1
+# the WHOLE bench must finish inside the driver's ~590 s window even on a
+# noisy box — extra scaling rounds are taken only while under this guard
+WALL_GUARD_SEC = float(os.environ.get("BENCH_WALL_GUARD_SEC", "330"))
 
 HEADLINE = [
     "rollup_1m",
@@ -170,7 +173,12 @@ def _plan_fingerprint(df) -> dict:
         return {}
 
 
+T_BENCH0 = time.monotonic()
+
+
 def main() -> None:
+    global T_BENCH0
+    T_BENCH0 = time.monotonic()
     import __spark_entry__ as entry_mod
 
     out: dict = {"sf": SF_DIR, "unit": "sec"}
@@ -233,9 +241,13 @@ def main() -> None:
     # can only sharpen the per-level minima toward the true quiet-box cost
     # (never inflate them), so sample more while the estimate still looks
     # contention-suppressed and the time budget allows.
-    budget = float(os.environ.get("BENCH_SCALING_BUDGET_SEC", "230"))
+    budget = float(os.environ.get("BENCH_SCALING_BUDGET_SEC", "160"))
     for _extra in range(2):
-        if _eff() >= 0.85 or time.monotonic() - t_scaling0 > budget:
+        if (
+            _eff() >= 0.85
+            or time.monotonic() - t_scaling0 > budget
+            or time.monotonic() - T_BENCH0 > WALL_GUARD_SEC
+        ):
             break
         _one_round()
 
@@ -304,6 +316,7 @@ def main() -> None:
     out["plan"] = plans
     out["value"] = round(sum(timings.values()), 3)
     out["seq_per_sec_all_tiers"] = round(N_DOCS / best[CPUS], 1)
+    out["elapsed_sec"] = round(time.monotonic() - T_BENCH0, 1)
     print(json.dumps(out))
 
 

@@ -80,7 +80,7 @@ def encode_blocks(
             }
         )
 
-    from ..session import default_groups
+    from ..session import default_groups, repartition_for_kernel
 
     groups_per_source = groups_per_source or default_groups(
         points, minimum=256, per_core=8
@@ -88,7 +88,7 @@ def encode_blocks(
     grouped = points.withColumn(
         "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
     )
-    return grouped.groupBy("source", "_g").applyInPandas(
+    return repartition_for_kernel(grouped, "source", "_g").groupBy("source", "_g").applyInPandas(
         _encode, schema=BLOCK_SCHEMA
     )
 
@@ -153,6 +153,73 @@ def encode_blocks_from_tokens(
 
     return tokens_df.select("source", "doc_id", "tokens").mapInPandas(
         _encode, schema=BLOCK_SCHEMA
+    )
+
+
+def compact_blocks(
+    blocks: DataFrame,
+    target_seconds: int,
+    groups_per_source: int | None = None,
+) -> DataFrame:
+    """Tier compaction for the block store (north-rule retention path):
+    merge fine (series, bucket) blocks into coarser `target_seconds`
+    buckets as data ages — the classic TSDB compaction that keeps block
+    count (and per-block header overhead) bounded as tiers cool.
+
+    Whole blocks move; a block is never split — the shuffle key is a hash
+    bucket of the series, and each applyInPandas call decodes its blocks,
+    concatenates runs per (doc, coarse bucket) (blocks cover disjoint time
+    ranges per series, so bucket_ts order == ts order), and re-encodes.
+    Output bytes are IDENTICAL to encoding the raw points at
+    target_seconds directly (pinned in tests), so compaction composes:
+    compact(compact(x, 1d), 7d) == encode(x, 7d)."""
+
+    def _compact(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame(
+                columns=[
+                    "source", "doc_id", "bucket_ts", "n_points",
+                    "min_ts", "max_ts", "codec", "block",
+                ]
+            )
+        pdf = pdf.sort_values(["doc_id", "bucket_ts"], kind="mergesort")
+        docs = pdf["doc_id"].to_numpy()
+        bkt_us = pdf["bucket_ts"].astype("int64").to_numpy() // 10**3
+        coarse = bkt_us - bkt_us % (target_seconds * 10**6)
+        counts, ts, vals = decode_blocks_batch(
+            [bytes(b) for b in pdf["block"]]
+        )
+        new = np.r_[True, (docs[1:] != docs[:-1]) | (np.diff(coarse) != 0)]
+        bs = np.flatnonzero(new)
+        be = np.r_[bs[1:], len(docs)]
+        pt_off = np.r_[0, np.cumsum(counts)]
+        blks = encode_blocks_batched(
+            [ts[pt_off[s] : pt_off[e]] for s, e in zip(bs, be)],
+            [vals[pt_off[s] : pt_off[e]] for s, e in zip(bs, be)],
+        )
+        return pd.DataFrame(
+            {
+                "source": np.repeat(pdf["source"].iloc[0], len(bs)),
+                "doc_id": docs[bs],
+                "bucket_ts": pd.to_datetime(coarse[bs] * 10**3),
+                "n_points": (pt_off[be] - pt_off[bs]).astype(np.int64),
+                "min_ts": pd.to_datetime(ts[pt_off[bs]] * 10**3),
+                "max_ts": pd.to_datetime(ts[pt_off[be] - 1] * 10**3),
+                "codec": CODEC_NAME,
+                "block": blks,
+            }
+        )
+
+    from ..session import default_groups, repartition_for_kernel
+
+    groups_per_source = groups_per_source or default_groups(
+        blocks, minimum=256, per_core=8
+    )
+    grouped = blocks.withColumn(
+        "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
+    )
+    return repartition_for_kernel(grouped, "source", "_g").groupBy("source", "_g").applyInPandas(
+        _compact, schema=BLOCK_SCHEMA
     )
 
 

@@ -158,12 +158,12 @@ def ccdc_segments(
                      "break_day", "n_obs", "rmse"],
         )
 
-    from ..session import default_groups
+    from ..session import default_groups, repartition_for_kernel
 
     groups_per_source = groups_per_source or default_groups(df)
     grouped = df.withColumn(
         "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
     )
-    return grouped.groupBy("source", "_g").applyInPandas(
+    return repartition_for_kernel(grouped, "source", "_g").groupBy("source", "_g").applyInPandas(
         _run, schema=SEGMENT_SCHEMA
     )

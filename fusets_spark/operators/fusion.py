@@ -232,8 +232,8 @@ def mogpr_fuse(
             )
         return pd.concat(outs, ignore_index=True)
 
-    from ..session import default_groups
+    from ..session import default_groups, repartition_for_kernel
 
     groups = groups or default_groups(df)
     grouped = df.withColumn("_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups)))
-    return grouped.groupBy("_g").applyInPandas(_fuse, schema=FUSED_SCHEMA)
+    return repartition_for_kernel(grouped, "_g").groupBy("_g").applyInPandas(_fuse, schema=FUSED_SCHEMA)

@@ -71,13 +71,13 @@ def harmonic_fit(
             + [f"c{i}" for i in range(num_coefficients)],
         )
 
-    from ..session import default_groups
+    from ..session import default_groups, repartition_for_kernel
 
     groups_per_source = groups_per_source or default_groups(df)
     grouped = df.withColumn(
         "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
     )
-    return grouped.groupBy("source", "_g").applyInPandas(_fit, schema=schema)
+    return repartition_for_kernel(grouped, "source", "_g").groupBy("source", "_g").applyInPandas(_fit, schema=schema)
 
 
 def harmonic_fitted(
@@ -120,12 +120,12 @@ def harmonic_fitted(
             ).astype({"source": str, "doc_id": str, "yhat": np.float64})
         return pd.concat(outs, ignore_index=True)
 
-    from ..session import default_groups
+    from ..session import default_groups, repartition_for_kernel
 
     groups_per_source = groups_per_source or default_groups(df)
     grouped = df.withColumn(
         "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
     )
-    return grouped.groupBy("source", "_g").applyInPandas(
+    return repartition_for_kernel(grouped, "source", "_g").groupBy("source", "_g").applyInPandas(
         _fit, schema="source string, doc_id string, ts timestamp, yhat double"
     )

@@ -87,13 +87,13 @@ def num_seasons(df: DataFrame, groups_per_source: int | None = None) -> DataFram
         ]
         return pd.DataFrame(rows, columns=["source", "doc_id", "num_seasons"])
 
-    from ..session import default_groups
+    from ..session import default_groups, repartition_for_kernel
 
     groups_per_source = groups_per_source or default_groups(df)
     grouped = df.withColumn(
         "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
     )
-    return grouped.groupBy("source", "_g").applyInPandas(
+    return repartition_for_kernel(grouped, "source", "_g").groupBy("source", "_g").applyInPandas(
         _run, schema="source string, doc_id string, num_seasons int"
     )
 
@@ -225,10 +225,10 @@ def peakvalley(
             )
         return pd.concat(out, ignore_index=True)
 
-    from ..session import default_groups
+    from ..session import default_groups, repartition_for_kernel
 
     groups_per_source = groups_per_source or default_groups(df)
     grouped = df.withColumn(
         "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
     )
-    return grouped.groupBy("source", "_g").applyInPandas(_run, schema=MASK_SCHEMA)
+    return repartition_for_kernel(grouped, "source", "_g").groupBy("source", "_g").applyInPandas(_run, schema=MASK_SCHEMA)

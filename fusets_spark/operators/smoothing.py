@@ -171,13 +171,13 @@ def _per_series(df: DataFrame, fn, groups_per_source: int) -> DataFrame:
             )
         return pd.concat(outs, ignore_index=True)
 
-    from ..session import default_groups
+    from ..session import default_groups, repartition_for_kernel
 
     groups_per_source = groups_per_source or default_groups(df)
     grouped = df.withColumn(
         "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
     )
-    return grouped.groupBy("source", "_g").applyInPandas(_run, SMOOTH_SCHEMA)
+    return repartition_for_kernel(grouped, "source", "_g").groupBy("source", "_g").applyInPandas(_run, SMOOTH_SCHEMA)
 
 
 def savgol_smooth(

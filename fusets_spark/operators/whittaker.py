@@ -312,7 +312,7 @@ def whittaker_gapfill(
                 )
         return pd.concat(out_frames, ignore_index=True)
 
-    from ..session import default_groups
+    from ..session import default_groups, repartition_for_kernel
 
     if n_groups is None:
         if groups_per_source is not None:
@@ -327,4 +327,4 @@ def whittaker_gapfill(
     grouped = points.withColumn(
         "_g", F.pmod(F.xxhash64("source", "doc_id"), F.lit(n_groups))
     )
-    return grouped.groupBy("_g").applyInPandas(_smooth, schema=SMOOTH_SCHEMA)
+    return repartition_for_kernel(grouped, "_g").groupBy("_g").applyInPandas(_smooth, schema=SMOOTH_SCHEMA)

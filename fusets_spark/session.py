@@ -51,6 +51,25 @@ def default_groups(
     return max(minimum, sc.defaultParallelism * per_core)
 
 
+def repartition_for_kernel(df, *keys):
+    """AQE-coalesce-proof partitioning for compute-bound applyInPandas
+    kernels.
+
+    AQE's size-based partition coalescing is right for byte-bound ETL
+    shuffles but dead wrong for numpy kernel stages: a few-MB shuffle
+    feeding a CPU-heavy solve gets coalesced to 1-2 tasks and the kernel
+    runs on 2 of 32 cores (measured: whittaker 6.3s -> 1.x s at sf0.1).
+    A USER-SPECIFIED repartition by number+keys is exempt from AQE
+    coalescing, and the following groupBy on the same keys is satisfied
+    by this hash partitioning (ClusteredDistribution), so Spark inserts no
+    second exchange — same shuffle count, fixed task count.
+
+    Partition count = defaultParallelism × 4 (straggler headroom), the
+    same sizing default_groups uses for the bucket modulus."""
+    n = df.sparkSession.sparkContext.defaultParallelism * 4
+    return df.repartition(n, *keys)
+
+
 def get_spark(
     app_name: str = "fusets-spark",
     cores: int | None = None,

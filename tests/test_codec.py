@@ -123,3 +123,32 @@ def test_spark_block_roundtrip(spark):
 
     meta = blocks.agg({"n_points": "sum"}).collect()[0][0]
     assert meta == len(a)
+
+
+def test_compaction_equals_direct_coarse_encode(spark):
+    """compact_blocks(fine -> coarse) must produce byte-identical blocks to
+    encoding the raw points at the coarse bucket directly, and composes:
+    compact(compact(60s, 300s), 900s) == encode(900s)."""
+    from fusets_spark.codec.blocks import compact_blocks, encode_blocks
+    from fusets_spark.datagen import generate_tokens
+    from fusets_spark.operators.explode import explode_raw
+
+    pts = explode_raw(generate_tokens(spark, 50, min_tok=32, max_tok=300))
+    fine = encode_blocks(pts, block_seconds=60)
+    key = ["source", "doc_id", "bucket_ts"]
+
+    a = compact_blocks(fine, 300).toPandas().sort_values(key).reset_index(drop=True)
+    b = encode_blocks(pts, block_seconds=300).toPandas().sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    assert (a["n_points"].to_numpy() == b["n_points"].to_numpy()).all()
+    assert (a["min_ts"].to_numpy() == b["min_ts"].to_numpy()).all()
+    assert (a["max_ts"].to_numpy() == b["max_ts"].to_numpy()).all()
+    assert all(bytes(x) == bytes(y) for x, y in zip(a["block"], b["block"]))
+
+    c = (
+        compact_blocks(compact_blocks(fine, 300), 900)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    d = encode_blocks(pts, block_seconds=900).toPandas().sort_values(key).reset_index(drop=True)
+    assert len(c) == len(d) and len(c) > 0
+    assert all(bytes(x) == bytes(y) for x, y in zip(c["block"], d["block"]))
