@@ -225,12 +225,20 @@ def neardup_components(
     for _ in range(max_iter):
         rounds += 1
         prop = edges.join(labels, edges["a"] == labels["doc"]).select(
-            F.col("b").alias("doc"), "label"
+            F.col("b").alias("doc"), "label", F.lit(None).alias("old")
         )
+        # carry each doc's previous label through the min-fold so change
+        # detection is a filter on the SAME frame — no per-round
+        # compare-join (labels only ever decrease, so label < old <=> any
+        # change happened this round)
         hop = (
-            labels.unionByName(prop)
+            labels.select("doc", "label", F.col("label").alias("old"))
+            .unionByName(prop)
             .groupBy("doc")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min("old").alias("old"),  # unique per doc
+            )
         )
         # pointer jumping: label <- label(label). Every label is itself a
         # doc id, and a parent's label is ≤ its own id by the min-fold
@@ -245,18 +253,14 @@ def neardup_components(
                 F.least(
                     F.col("label"), F.coalesce("p_label", "label")
                 ).alias("label"),
+                "old",
             )
             .localCheckpoint()
         )
         changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "doc"
-            )
-            .filter(F.col("label") < F.col("old"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") < F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.drop("old")
         if changed == 0:
             break
     if changed != 0:

@@ -152,3 +152,58 @@ def test_compaction_equals_direct_coarse_encode(spark):
     d = encode_blocks(pts, block_seconds=900).toPandas().sort_values(key).reset_index(drop=True)
     assert len(c) == len(d) and len(c) > 0
     assert all(bytes(x) == bytes(y) for x, y in zip(c["block"], d["block"]))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    spec=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),   # n points
+            st.integers(min_value=0, max_value=2**31),  # seed
+            st.booleans(),                              # pointwise encoder?
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_lockstep_decoder_matches_sequential(spec):
+    """The lockstep (numpy-across-blocks) decoder must agree bit-for-bit
+    with the per-block sequential reference on both encoder variants —
+    including the stateful '10' reuse-window path only the pointwise
+    encoder emits, NaN/Inf/-0.0 payloads, and 64-bit raw DoD fallbacks."""
+    from fusets_spark.codec.gorilla import (
+        decode_blocks_lockstep,
+        encode_block_pointwise,
+    )
+
+    blocks = []
+    for n, seed, pointwise in spec:
+        rng = np.random.default_rng(seed)
+        if n == 0:
+            ts = np.empty(0, np.int64)
+            vals = np.empty(0, np.float64)
+        else:
+            deltas = rng.choice(
+                [0, 1, 60, 3600, 10**6, 2**33, -5, 127, 255, 2048],
+                size=max(n - 1, 0),
+            )
+            ts = np.cumsum(
+                np.r_[rng.integers(-(2**40), 2**40), deltas]
+            ).astype(np.int64)
+            vals = rng.normal(size=n)
+            vals[rng.random(n) < 0.15] = np.nan
+            vals[rng.random(n) < 0.1] = np.inf
+            vals[rng.random(n) < 0.1] = -0.0
+        enc = encode_block_pointwise if pointwise else encode_block
+        blocks.append(enc(ts, vals))
+
+    counts, ts_all, vals_all = decode_blocks_lockstep(blocks)
+    off = np.r_[0, np.cumsum(counts)]
+    for i, b in enumerate(blocks):
+        t_ref, v_ref = decode_block(b)
+        assert counts[i] == len(t_ref)
+        assert np.array_equal(t_ref, ts_all[off[i] : off[i + 1]])
+        assert np.array_equal(
+            np.asarray(v_ref).view(np.int64),
+            vals_all[off[i] : off[i + 1]].view(np.int64),
+        )
