@@ -238,6 +238,25 @@ def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_blocks(blocks).select("source", "doc_id", "ts", "value")
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media resize (round brief: decode/feature-extract/resize/
+    frame-sample): nearest-neighbor resize of raw single-channel bitmap
+    buffers in vectorized numpy — no media libs, no stub. Payloads are
+    deterministic 16x16 bitmaps built from repeat(md5(text), 8) cast to
+    binary (ASCII hex bytes), resized to 7x5; output is one row per output
+    pixel so the oracle can replay the gather with pure byte indexing."""
+    from fusets_spark.operators.multimodal import resize_raw_media
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.repeat(F.md5(F.col("text")), 8).cast("binary").alias("payload"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+    )
+    return resize_raw_media(media, out_w=7, out_h=5, output="pixels")
+
+
 def q_block_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-store compaction (north-rule retention path): 1h Gorilla
     blocks are compacted into 1-day blocks (whole blocks regrouped +
@@ -943,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_1m": q_stream_rollup_1m,
         "late_data_merge": q_late_data_merge,
         "block_compaction": q_block_compaction,
+        "media_resize": q_media_resize,
         "rollup_1m": _mk_rollup("1m"),
         "rollup_5m": _mk_rollup("5m"),
         "rollup_1h": _mk_rollup("1h"),
@@ -2314,6 +2334,16 @@ FROM documents GROUP BY 1
         "token_counts": _TOKEN_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,
         "multimodal_decode": _multimodal_oracle(),
+        "media_resize": """
+SELECT CAST(d.doc_id AS VARCHAR) AS media_id, g.y, g.x,
+       ord(substr(repeat(md5(d.text), 8),
+                  (g.y * 16 // 5) * 16 + (g.x * 16 // 7) + 1, 1)) AS px
+FROM documents d
+CROSS JOIN (
+  SELECT y, x
+  FROM (SELECT unnest(range(5)) AS y), (SELECT unnest(range(7)) AS x)
+) g
+""",
         "media_binary_meta": """
 SELECT doc_id, 'image' AS media_type,
        octet_length(CAST(text AS BLOB)) AS n_bytes,

@@ -142,3 +142,29 @@ def test_whittaker_groups_scale_with_parallelism(spark):
     assert f", {expected})" in plan.replace("L", ""), (
         f"expected group count {expected} not found in plan"
     )
+
+
+def test_kernel_stages_resist_aqe_coalescing(spark):
+    """Compute-bound applyInPandas kernels must keep their task count under
+    AQE: session.repartition_for_kernel issues a user-specified
+    REPARTITION_BY_NUM (exempt from size-based coalescing — AQE was
+    measured collapsing the few-MB kernel shuffle to 2 of 32 cores) that
+    also satisfies the groupBy distribution, so exactly ONE exchange
+    appears and it is the non-coalescible kind."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for name in ("whittaker_gapfill", "gorilla_roundtrip"):
+        df = mod.queries()[name](spark, SF)
+        plan = _plan(df)
+        assert "REPARTITION_BY_NUM" in plan, (
+            f"{name}: kernel shuffle lost its AQE-coalesce exemption"
+        )
+        n_parts = spark.sparkContext.defaultParallelism * 4
+        assert f", {n_parts}), REPARTITION_BY_NUM" in plan, (
+            f"{name}: kernel partition count does not track parallelism"
+        )

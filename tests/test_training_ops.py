@@ -290,3 +290,55 @@ def test_decode_media_headers_distributed(spark):
     assert got.loc["a", "width"] == 3 and got.loc["a", "height"] == 7
     assert got.loc["b", "media_type"] == "unknown"
     assert got.loc["a", "n_bytes"] == len(png)
+
+
+def test_resize_raw_media_exact_and_modes_agree(spark):
+    """Nearest-neighbor resize: exact on a hand-checked bitmap, and the
+    binary production output must equal the exploded pixels repacked."""
+    import numpy as np
+
+    from fusets_spark.operators.multimodal import resize_raw_media
+
+    # 4x2 bitmap (h=2 rows of w=4): values 0..7
+    buf = bytes(range(8))
+    df = spark.createDataFrame(
+        [("a", bytearray(buf), 4, 2)],
+        "media_id string, payload binary, width int, height int",
+    )
+    px = (
+        resize_raw_media(df, out_w=2, out_h=2, output="pixels")
+        .orderBy("y", "x")
+        .collect()
+    )
+    # src_x = (x*4)//2 -> 0,2 ; src_y = (y*2)//2 -> 0,1
+    assert [(r.y, r.x, r.px) for r in px] == [
+        (0, 0, 0), (0, 1, 2), (1, 0, 4), (1, 1, 6),
+    ]
+    binary = resize_raw_media(df, out_w=2, out_h=2, output="binary").collect()
+    assert bytes(binary[0].resized) == bytes([0, 2, 4, 6])
+    assert (binary[0].out_w, binary[0].out_h) == (2, 2)
+
+    # random bitmaps: modes agree
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(20):
+        w, h = int(rng.integers(3, 40)), int(rng.integers(3, 40))
+        rows.append(
+            (f"m{i}", bytearray(rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()), w, h)
+        )
+    df2 = spark.createDataFrame(
+        rows, "media_id string, payload binary, width int, height int"
+    )
+    pix = {
+        r.media_id: r
+        for r in resize_raw_media(df2, 5, 9, output="binary").collect()
+    }
+    got = (
+        resize_raw_media(df2, 5, 9, output="pixels")
+        .orderBy("media_id", "y", "x")
+        .toPandas()
+    )
+    for mid, g in got.groupby("media_id"):
+        assert bytes(pix[mid].resized) == bytes(
+            g.sort_values(["y", "x"])["px"].astype(np.uint8).to_numpy().tobytes()
+        )
