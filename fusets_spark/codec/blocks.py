@@ -93,6 +93,32 @@ def encode_blocks(
     )
 
 
+def block_frame(src_arr, doc_arr, d, ep_us, vals, block_seconds):
+    """Pure-numpy block fold over one decoded batch -> pandas frame of
+    encoded Gorilla blocks (one row per (doc, bucket) run; the decoded
+    arrays must be (doc, ts)-sorted, which token order guarantees)."""
+    bucket = ep_us - ep_us % (block_seconds * 10**6)
+    newblk = np.r_[True, (d[1:] != d[:-1]) | (bucket[1:] != bucket[:-1])]
+    bs = np.flatnonzero(newblk)
+    be = np.r_[bs[1:], len(d)]
+    blks = encode_blocks_batched(
+        [ep_us[s:e] for s, e in zip(bs, be)],
+        [vals[s:e] for s, e in zip(bs, be)],
+    )
+    return pd.DataFrame(
+        {
+            "source": src_arr[d[bs]],
+            "doc_id": doc_arr[d[bs]],
+            "bucket_ts": pd.to_datetime(bucket[bs] * 10**3),
+            "n_points": (be - bs).astype(np.int64),
+            "min_ts": pd.to_datetime(ep_us[bs] * 10**3),
+            "max_ts": pd.to_datetime(ep_us[be - 1] * 10**3),
+            "codec": CODEC_NAME,
+            "block": blks,
+        }
+    )
+
+
 def encode_blocks_from_tokens(
     tokens_df: DataFrame,
     t0: str = "2024-01-01 00:00:00",
@@ -110,45 +136,23 @@ def encode_blocks_from_tokens(
     Produces the same blocks as explode_raw + encode_blocks (tested)."""
     import pandas as pd  # local import: runs on executors
 
+    from ..operators.rollup import decode_token_batch
+
     t0_us = int(pd.Timestamp(t0).value // 10**3)
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            tok_list = [np.asarray(t, dtype=np.int64) for t in pdf["tokens"]]
-            if not tok_list:
+            dec = decode_token_batch(pdf)
+            if dec is None:
                 continue
-            lens = np.asarray([len(t) for t in tok_list], dtype=np.int64)
-            toks = np.concatenate(tok_list) if tok_list else np.empty(0, np.int64)
-            doc_idx = np.repeat(np.arange(len(tok_list)), lens)
-            doc_start = np.r_[0, np.cumsum(lens)[:-1]]
-            pos = np.arange(len(toks), dtype=np.int64) - doc_start[doc_idx]
-            keep = toks != -1
-            if not keep.any():
-                continue
-            d = doc_idx[keep]
-            ep = t0_us + pos[keep] * 10**6
-            vals = toks[keep].astype(np.float64)
-            bucket = ep - ep % (block_seconds * 10**6)
-            newblk = np.r_[True, (d[1:] != d[:-1]) | (bucket[1:] != bucket[:-1])]
-            bs = np.flatnonzero(newblk)
-            be = np.r_[bs[1:], len(d)]
-            blks = encode_blocks_batched(
-                [ep[s:e] for s, e in zip(bs, be)],
-                [vals[s:e] for s, e in zip(bs, be)],
-            )
-            src_arr = pdf["source"].to_numpy()
-            doc_arr = pdf["doc_id"].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "source": src_arr[d[bs]],
-                    "doc_id": doc_arr[d[bs]],
-                    "bucket_ts": pd.to_datetime(bucket[bs] * 10**3),
-                    "n_points": (be - bs).astype(np.int64),
-                    "min_ts": pd.to_datetime(ep[bs] * 10**3),
-                    "max_ts": pd.to_datetime(ep[be - 1] * 10**3),
-                    "codec": CODEC_NAME,
-                    "block": blks,
-                }
+            src_arr, doc_arr, d, pos, v = dec
+            yield block_frame(
+                src_arr,
+                doc_arr,
+                d,
+                t0_us + pos * 10**6,
+                v.astype(np.float64),
+                block_seconds,
             )
 
     return tokens_df.select("source", "doc_id", "tokens").mapInPandas(

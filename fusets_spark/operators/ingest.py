@@ -1,0 +1,115 @@
+"""Fused single-scan ingest: every retention tier AND the Gorilla block
+store from ONE pass over the tokenized-sequence table.
+
+The separate from-tokens operators (rollup_ladder_from_tokens,
+encode_blocks_from_tokens) each scan the corpus and each pay the dominant
+cost — parquet array decode + Arrow transfer + token flattening (~85% of
+kernel CPU at bench shape; the numpy folds are ~15%). A production ingest
+materializes tiers and blocks together, so this operator shares one
+decode_token_batch per Arrow batch and emits a superset-schema frame with
+a `kind` discriminator ('tier' rows carry the rollup columns, 'block'
+rows the codec columns; the other side is null). Splitting downstream is
+a cheap filter; the expensive scan happens once.
+
+Outputs are IDENTICAL to the separate operators by construction (shared
+decode + shared frame builders; pinned in tests/test_rollup.py)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..codec.blocks import block_frame
+from .rollup import decode_token_batch, ladder_frames
+
+INGEST_SCHEMA = (
+    "kind string, source string, doc_id string, bucket_ts timestamp, "
+    # tier columns
+    "n_obs long, sum_val long, min_val double, max_val double, "
+    "first_val double, last_val double, avg_val double, tier string, "
+    # block columns
+    "n_points long, min_ts timestamp, max_ts timestamp, codec string, "
+    "block binary"
+)
+
+_TIER_COLS = [
+    "n_obs", "sum_val", "min_val", "max_val",
+    "first_val", "last_val", "avg_val", "tier",
+]
+_BLOCK_COLS = ["n_points", "min_ts", "max_ts", "codec", "block"]
+
+
+def ingest_from_tokens(
+    tokens_df: DataFrame,
+    t0: str = "2024-01-01 00:00:00",
+    block_seconds: int = 3600,
+) -> DataFrame:
+    """tokens -> one frame holding all three rollup tiers (kind='tier')
+    and the encoded Gorilla blocks (kind='block'), from a single scan."""
+    t0_s = int(pd.Timestamp(t0).value // 10**9)
+    t0_us = t0_s * 10**6
+
+    order = ["kind", "source", "doc_id", "bucket_ts", *_TIER_COLS, *_BLOCK_COLS]
+
+    def _pad_nulls(frame: pd.DataFrame, null_cols: list[str]) -> pd.DataFrame:
+        # typed all-null columns; NEVER concat tier+block frames into one —
+        # mixing typed numerics with object Nones coerces the numeric
+        # columns to object dtype and Arrow serialization goes per-element
+        # (measured 2x wall on the whole job). Yielding the two frames
+        # separately keeps every column's dtype intact.
+        for col in null_cols:
+            if col in ("min_ts", "max_ts", "bucket_ts"):
+                frame[col] = pd.Series(pd.NaT, index=frame.index)
+            elif col in ("codec", "block", "tier"):
+                frame[col] = None  # object nulls: string/binary columns
+            else:
+                frame[col] = pd.Series(
+                    np.nan, index=frame.index, dtype="float64"
+                )
+                frame[col] = frame[col].astype("Int64") if col in (
+                    "n_obs", "sum_val", "n_points"
+                ) else frame[col]
+        return frame[order]
+
+    def _ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dec = decode_token_batch(pdf)
+            if dec is None:
+                continue
+            src_arr, doc_arr, d, pos, v = dec
+            tiers = pd.concat(
+                ladder_frames(src_arr, doc_arr, d, pos, v, t0_s, False),
+                ignore_index=True,
+            )
+            tiers.insert(0, "kind", "tier")
+            yield _pad_nulls(tiers, _BLOCK_COLS)
+            blocks = block_frame(
+                src_arr,
+                doc_arr,
+                d,
+                t0_us + pos * 10**6,
+                v.astype(np.float64),
+                block_seconds,
+            )
+            blocks.insert(0, "kind", "block")
+            yield _pad_nulls(blocks, _TIER_COLS)
+
+    return tokens_df.select("source", "doc_id", "tokens").mapInPandas(
+        _ingest, schema=INGEST_SCHEMA
+    )
+
+
+def split_ingest(ingested: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(tiers, blocks) views of a fused ingest frame — cheap filters; use
+    after persisting the fused output (or over its parquet sink) so the
+    token scan is not recomputed per side."""
+    tiers = ingested.filter("kind = 'tier'").select(
+        "source", "doc_id", "bucket_ts", *_TIER_COLS
+    )
+    blocks = ingested.filter("kind = 'block'").select(
+        "source", "doc_id", "bucket_ts", *_BLOCK_COLS
+    )
+    return tiers, blocks

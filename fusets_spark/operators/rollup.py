@@ -215,16 +215,127 @@ def rollup_tokens_native(
     )
 
 
+def decode_token_batch(pdf):
+    """Shared Arrow-batch decode for every from-tokens kernel: flatten one
+    pandas batch's `tokens` arrays into (src_arr, doc_arr, d, pos, v)
+    where d indexes src_arr/doc_arr, pos is the 0-based token position and
+    v the token value, with -1 sentinels (missing) dropped. Returns None
+    for empty / all-missing batches. Factoring the decode out lets the
+    fused single-scan ingest (operators/ingest.py) share ONE decode with
+    the ladder and the block encoder — at 200M points per bench run the
+    decode + Arrow transfer dominates kernel CPU, so fusing halves it —
+    and makes their outputs identical by construction."""
+    import numpy as np
+
+    tok_list = [np.asarray(t, dtype=np.int64) for t in pdf["tokens"]]
+    if not tok_list:
+        return None
+    lens = np.asarray([len(t) for t in tok_list], dtype=np.int64)
+    toks = np.concatenate(tok_list)
+    doc_idx = np.repeat(np.arange(len(tok_list)), lens)
+    doc_start = np.r_[0, np.cumsum(lens)[:-1]]
+    pos = np.arange(len(toks), dtype=np.int64) - doc_start[doc_idx]
+    keep = toks != -1
+    if not keep.any():
+        return None
+    return (
+        pdf["source"].to_numpy(),
+        pdf["doc_id"].to_numpy(),
+        doc_idx[keep],
+        pos[keep],
+        toks[keep],
+    )
+
+
+def ladder_frames(
+    src_arr, doc_arr, d, pos_kept, v, t0_s, with_order_keys
+):
+    """Pure-numpy ladder fold over one decoded batch -> list of per-tier
+    pandas frames: 1m reduced from raw positions, 5m re-aggregating the
+    in-memory 1m group arrays, 1h the 5m arrays (the same associative
+    merges as rollup_from_tier)."""
+    import numpy as np
+    import pandas as pd
+
+    def reduce_tier(d, bucket, n, s, mn, mx, fv, lv, fp, lp, seconds):
+        # merge finer-tier group arrays into coarser buckets (order keys
+        # ride along: groups are pos-sorted, so the coarse first is the
+        # first fine group's first)
+        b2 = bucket - bucket % seconds
+        new = np.r_[True, (d[1:] != d[:-1]) | (b2[1:] != b2[:-1])]
+        st = np.flatnonzero(new)
+        en = np.r_[st[1:], len(d)]
+        return (
+            d[st],
+            b2[st],
+            np.add.reduceat(n, st),
+            np.add.reduceat(s, st),
+            np.minimum.reduceat(mn, st),
+            np.maximum.reduceat(mx, st),
+            fv[st],
+            lv[en - 1],
+            fp[st],
+            lp[en - 1],
+        )
+
+    epoch = t0_s + pos_kept
+    bucket = epoch - epoch % TIERS["1m"]
+    new = np.r_[True, (d[1:] != d[:-1]) | (bucket[1:] != bucket[:-1])]
+    st = np.flatnonzero(new)
+    en = np.r_[st[1:], len(d)]
+    vf = v.astype(np.float64)
+    cur = (
+        d[st],
+        bucket[st],
+        (en - st).astype(np.int64),
+        np.add.reduceat(v, st),
+        np.minimum.reduceat(vf, st),
+        np.maximum.reduceat(vf, st),
+        vf[st],
+        vf[en - 1],
+        pos_kept[st],
+        pos_kept[en - 1],
+    )
+    frames = []
+    for tier, seconds in [("1m", None), ("5m", 300), ("1h", 3600)]:
+        if seconds is not None:
+            cur = reduce_tier(*cur, seconds)
+        td, tb, tn, ts_, tmn, tmx, tf, tl, tfp, tlp = cur
+        cols = {
+            "source": src_arr[td],
+            "doc_id": doc_arr[td],
+            "bucket_ts": pd.to_datetime(tb * 10**9),
+            "n_obs": tn,
+            "sum_val": ts_,
+            "min_val": tmn,
+            "max_val": tmx,
+            "first_val": tf,
+            "last_val": tl,
+            "avg_val": ts_ / tn,
+            "tier": tier,
+        }
+        if with_order_keys:
+            cols["first_pos"] = tfp
+            cols["last_pos"] = tlp
+        frames.append(pd.DataFrame(cols))
+    return frames
+
+
+LADDER_SCHEMA_BASE = (
+    "source string, doc_id string, bucket_ts timestamp, n_obs long, "
+    "sum_val long, min_val double, max_val double, first_val double, "
+    "last_val double, avg_val double, tier string"
+)
+
+
 def rollup_ladder_from_tokens(
     tokens_df: DataFrame,
     t0: str = "2024-01-01 00:00:00",
     with_order_keys: bool = False,
 ) -> DataFrame:
     """ONE-PASS shuffle-free ladder: all three tiers (1m, 5m, 1h) from a
-    single scan of the tokenized-sequence table. The 1m tier is reduced
-    from raw positions; 5m re-aggregates the in-memory 1m group arrays and
-    1h the 5m arrays (the same associative merges as rollup_from_tier), all
-    inside one mapInPandas — zero shuffles, zero explode.
+    single scan of the tokenized-sequence table, inside one mapInPandas —
+    zero shuffles, zero explode (see ladder_frames for the fold).
 
     Output: rollup rows + `tier` label column; exactly equal (tested) to
     rollup_ladder_union(explode_raw(tokens))."""
@@ -234,93 +345,20 @@ def rollup_ladder_from_tokens(
     t0_s = int(pd.Timestamp(t0).value // 10**9)
 
     def _roll(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
-        import numpy as np
-
-        def reduce_tier(d, bucket, n, s, mn, mx, fv, lv, fp, lp, seconds):
-            """Merge finer-tier group arrays into coarser buckets (order
-            keys ride along: groups are pos-sorted, so the coarse first is
-            the first fine group's first)."""
-            b2 = bucket - bucket % seconds
-            new = np.r_[True, (d[1:] != d[:-1]) | (b2[1:] != b2[:-1])]
-            st = np.flatnonzero(new)
-            en = np.r_[st[1:], len(d)]
-            return (
-                d[st],
-                b2[st],
-                np.add.reduceat(n, st),
-                np.add.reduceat(s, st),
-                np.minimum.reduceat(mn, st),
-                np.maximum.reduceat(mx, st),
-                fv[st],
-                lv[en - 1],
-                fp[st],
-                lp[en - 1],
-            )
-
         for pdf in batches:
-            tok_list = [np.asarray(t, dtype=np.int64) for t in pdf["tokens"]]
-            if not tok_list:
+            dec = decode_token_batch(pdf)
+            if dec is None:
                 continue
-            lens = np.asarray([len(t) for t in tok_list], dtype=np.int64)
-            toks = np.concatenate(tok_list)
-            doc_idx = np.repeat(np.arange(len(tok_list)), lens)
-            doc_start = np.r_[0, np.cumsum(lens)[:-1]]
-            pos = np.arange(len(toks), dtype=np.int64) - doc_start[doc_idx]
-            keep = toks != -1
-            if not keep.any():
-                continue
-            d = doc_idx[keep]
-            epoch = t0_s + pos[keep]
-            v = toks[keep]
-            bucket = epoch - epoch % TIERS["1m"]
-            new = np.r_[True, (d[1:] != d[:-1]) | (bucket[1:] != bucket[:-1])]
-            st = np.flatnonzero(new)
-            en = np.r_[st[1:], len(d)]
-            vf = v.astype(np.float64)
-            p_kept = pos[keep]
-            cur = (
-                d[st],
-                bucket[st],
-                (en - st).astype(np.int64),
-                np.add.reduceat(v, st),
-                np.minimum.reduceat(vf, st),
-                np.maximum.reduceat(vf, st),
-                vf[st],
-                vf[en - 1],
-                p_kept[st],
-                p_kept[en - 1],
+            src_arr, doc_arr, d, pos_kept, v = dec
+            yield pd.concat(
+                ladder_frames(
+                    src_arr, doc_arr, d, pos_kept, v, t0_s, with_order_keys
+                ),
+                ignore_index=True,
             )
-            src_arr = pdf["source"].to_numpy()
-            doc_arr = pdf["doc_id"].to_numpy()
-            frames = []
-            for tier, seconds in [("1m", None), ("5m", 300), ("1h", 3600)]:
-                if seconds is not None:
-                    cur = reduce_tier(*cur, seconds)
-                td, tb, tn, ts_, tmn, tmx, tf, tl, tfp, tlp = cur
-                cols = {
-                    "source": src_arr[td],
-                    "doc_id": doc_arr[td],
-                    "bucket_ts": pd.to_datetime(tb * 10**9),
-                    "n_obs": tn,
-                    "sum_val": ts_,
-                    "min_val": tmn,
-                    "max_val": tmx,
-                    "first_val": tf,
-                    "last_val": tl,
-                    "avg_val": ts_ / tn,
-                    "tier": tier,
-                }
-                if with_order_keys:
-                    cols["first_pos"] = tfp
-                    cols["last_pos"] = tlp
-                frames.append(pd.DataFrame(cols))
-            yield pd.concat(frames, ignore_index=True)
 
-    schema = (
-        "source string, doc_id string, bucket_ts timestamp, n_obs long, "
-        "sum_val long, min_val double, max_val double, first_val double, "
-        "last_val double, avg_val double, tier string"
-        + (", first_pos long, last_pos long" if with_order_keys else "")
+    schema = LADDER_SCHEMA_BASE + (
+        ", first_pos long, last_pos long" if with_order_keys else ""
     )
     return tokens_df.select("source", "doc_id", "tokens").mapInPandas(
         _roll, schema=schema

@@ -144,3 +144,42 @@ def test_merge_tier_partials_equals_direct_rollup(spark):
         merge_tier_partials(partials)
     ).toPandas()[cols].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(again, direct, check_dtype=False)
+
+
+def test_fused_ingest_equals_separate_passes(spark):
+    """ingest_from_tokens must yield exactly rollup_ladder_from_tokens'
+    tier rows and encode_blocks_from_tokens' blocks (byte-identical) —
+    one scan instead of two."""
+    import numpy as np
+
+    from fusets_spark.codec.blocks import encode_blocks_from_tokens
+    from fusets_spark.datagen import generate_tokens
+    from fusets_spark.operators.ingest import ingest_from_tokens, split_ingest
+    from fusets_spark.operators.rollup import rollup_ladder_from_tokens
+
+    toks = generate_tokens(spark, 60, seed=3, min_tok=32, max_tok=300)
+    fused = ingest_from_tokens(toks, block_seconds=3600).persist()
+    tiers, blocks = split_ingest(fused)
+
+    key = ["source", "doc_id", "tier", "bucket_ts"]
+    a = tiers.toPandas().sort_values(key).reset_index(drop=True)
+    b = (
+        rollup_ladder_from_tokens(toks)
+        .toPandas()[a.columns]
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    kb = ["source", "doc_id", "bucket_ts"]
+    c = blocks.toPandas().sort_values(kb).reset_index(drop=True)
+    d = (
+        encode_blocks_from_tokens(toks, block_seconds=3600)
+        .toPandas()[c.columns]
+        .sort_values(kb)
+        .reset_index(drop=True)
+    )
+    assert len(c) == len(d) and len(c) > 0
+    assert (c["n_points"].to_numpy() == d["n_points"].to_numpy()).all()
+    assert all(bytes(x) == bytes(y) for x, y in zip(c["block"], d["block"]))
+    fused.unpersist()
