@@ -34,6 +34,7 @@ INGEST_SCHEMA = (
     "n_points long, min_ts timestamp, max_ts timestamp, codec string, "
     "block binary"
 )
+INGEST_SCHEMA_ORDER_KEYS = INGEST_SCHEMA + ", first_pos long, last_pos long"
 
 _TIER_COLS = [
     "n_obs", "sum_val", "min_val", "max_val",
@@ -46,13 +47,21 @@ def ingest_from_tokens(
     tokens_df: DataFrame,
     t0: str = "2024-01-01 00:00:00",
     block_seconds: int = 3600,
+    with_order_keys: bool = False,
 ) -> DataFrame:
     """tokens -> one frame holding all three rollup tiers (kind='tier')
-    and the encoded Gorilla blocks (kind='block'), from a single scan."""
+    and the encoded Gorilla blocks (kind='block'), from a single scan.
+    with_order_keys adds first_pos/last_pos to tier rows (the late-data
+    merge keys the pipeline stores; null on block rows)."""
     t0_s = int(pd.Timestamp(t0).value // 10**9)
     t0_us = t0_s * 10**6
 
-    order = ["kind", "source", "doc_id", "bucket_ts", *_TIER_COLS, *_BLOCK_COLS]
+    tier_cols = _TIER_COLS + (
+        ["first_pos", "last_pos"] if with_order_keys else []
+    )
+    order = ["kind", "source", "doc_id", "bucket_ts", *_TIER_COLS, *_BLOCK_COLS] + (
+        ["first_pos", "last_pos"] if with_order_keys else []
+    )
 
     def _pad_nulls(frame: pd.DataFrame, null_cols: list[str]) -> pd.DataFrame:
         # typed all-null columns; NEVER concat tier+block frames into one —
@@ -70,7 +79,7 @@ def ingest_from_tokens(
                     np.nan, index=frame.index, dtype="float64"
                 )
                 frame[col] = frame[col].astype("Int64") if col in (
-                    "n_obs", "sum_val", "n_points"
+                    "n_obs", "sum_val", "n_points", "first_pos", "last_pos"
                 ) else frame[col]
         return frame[order]
 
@@ -81,7 +90,9 @@ def ingest_from_tokens(
                 continue
             src_arr, doc_arr, d, pos, v = dec
             tiers = pd.concat(
-                ladder_frames(src_arr, doc_arr, d, pos, v, t0_s, False),
+                ladder_frames(
+                    src_arr, doc_arr, d, pos, v, t0_s, with_order_keys
+                ),
                 ignore_index=True,
             )
             tiers.insert(0, "kind", "tier")
@@ -95,10 +106,11 @@ def ingest_from_tokens(
                 block_seconds,
             )
             blocks.insert(0, "kind", "block")
-            yield _pad_nulls(blocks, _TIER_COLS)
+            yield _pad_nulls(blocks, tier_cols)
 
     return tokens_df.select("source", "doc_id", "tokens").mapInPandas(
-        _ingest, schema=INGEST_SCHEMA
+        _ingest,
+        schema=INGEST_SCHEMA_ORDER_KEYS if with_order_keys else INGEST_SCHEMA,
     )
 
 
@@ -106,8 +118,9 @@ def split_ingest(ingested: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(tiers, blocks) views of a fused ingest frame — cheap filters; use
     after persisting the fused output (or over its parquet sink) so the
     token scan is not recomputed per side."""
+    keys = [c for c in ("first_pos", "last_pos") if c in ingested.columns]
     tiers = ingested.filter("kind = 'tier'").select(
-        "source", "doc_id", "bucket_ts", *_TIER_COLS
+        "source", "doc_id", "bucket_ts", *_TIER_COLS, *keys
     )
     blocks = ingested.filter("kind = 'block'").select(
         "source", "doc_id", "bucket_ts", *_BLOCK_COLS

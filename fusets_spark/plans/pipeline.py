@@ -71,15 +71,72 @@ class RollupPipeline:
         )
         return ladder.filter(ladder["tier"] == stage).drop("tier")
 
+    def _staged_stage_df(self, staged: DataFrame, stage: str) -> DataFrame:
+        if stage == "blocks":
+            return staged.filter(staged["kind"] == "block").select(
+                "source", "doc_id", "bucket_ts", "n_points",
+                "min_ts", "max_ts", "codec", "block",
+            )
+        return staged.filter(
+            (staged["kind"] == "tier") & (staged["tier"] == stage)
+        ).select(
+            "source", "doc_id", "bucket_ts", "n_obs", "sum_val",
+            "min_val", "max_val", "first_val", "last_val", "avg_val",
+            "first_pos", "last_pos",
+        )
+
     def process_batch(
         self,
         tokens: DataFrame,
         batch_id: str,
         fail_after_stage: str | None = None,
+        fused: bool = True,
     ) -> None:
         """Commit one input batch through every stage. `fail_after_stage`
         simulates an executor/driver loss mid-commit (for the resume test):
-        the stage's data+manifest are written but the watermark is NOT."""
+        the stage's data+manifest are written but the watermark is NOT.
+
+        fused=True (default, and the 10^12-scale path): ONE token scan
+        materializes every tier + the blocks into an uncommitted staging
+        dir (operators/ingest.py); each stage then commits from the cheap
+        staged parquet instead of re-scanning the corpus — 4 corpus scans
+        -> 1. Staging is overwrite-idempotent: a crash at any point
+        resumes by re-materializing it, and committed stages are skipped
+        exactly as before (content is byte-identical either way — the
+        fused operator shares the separate operators' frame builders)."""
+        pending = [
+            s for s in STAGES if not self.store.is_committed(s, batch_id)
+        ]
+        if not pending:
+            return
+        if fused and len(pending) > 1:
+            import shutil
+
+            from ..operators.ingest import ingest_from_tokens
+
+            spark = tokens.sparkSession
+            staging = f"{self.store.root}/_staging/{batch_id}"
+            ingest_from_tokens(
+                tokens,
+                t0=self.t0,
+                block_seconds=self.block_seconds,
+                with_order_keys=True,
+            ).write.mode("overwrite").parquet(staging)
+            staged = spark.read.parquet(staging)
+            for stage in STAGES:
+                if self.store.is_committed(stage, batch_id):
+                    continue
+                self.store.write_batch(
+                    self._staged_stage_df(staged, stage),
+                    stage, batch_id, self.cfg_hash,
+                )
+                if fail_after_stage == stage:
+                    raise RuntimeError(
+                        f"simulated failure after {stage}/{batch_id}"
+                    )
+                self.store.commit_watermark(stage, batch_id)
+            shutil.rmtree(staging, ignore_errors=True)
+            return
         for stage in STAGES:
             if self.store.is_committed(stage, batch_id):
                 continue  # already committed (resume path)

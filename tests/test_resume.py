@@ -203,3 +203,38 @@ def test_late_data_merged_read_exact(spark, tmp_path):
     # the unmerged read genuinely contains cross-batch partials
     raw = pipe.read_tier(spark, "1m").groupBy(*key).count()
     assert raw.filter("count > 1").count() > 0
+
+
+def test_fused_pipeline_equals_per_stage_pipeline(spark, tmp_path):
+    """The fused single-scan process_batch must commit byte-identical tier
+    and block content to the per-stage (4-scan) path, and clean up its
+    staging dir."""
+    import os
+
+    from fusets_spark.datagen import generate_tokens
+    from fusets_spark.plans.pipeline import STAGES, RollupPipeline
+
+    toks = generate_tokens(spark, 40, seed=8, min_tok=32, max_tok=200)
+    a = RollupPipeline(str(tmp_path / "fused"))
+    a.process_batch(toks, "b1", fused=True)
+    b = RollupPipeline(str(tmp_path / "stages"))
+    b.process_batch(toks, "b1", fused=False)
+
+    for stage in STAGES:
+        pa = spark.read.parquet(a.store.tier_path(stage)).toPandas()
+        pb = spark.read.parquet(b.store.tier_path(stage)).toPandas()
+        key = [c for c in ("source", "doc_id", "bucket_ts") if c in pa.columns]
+        pa = pa.sort_values(key).reset_index(drop=True)
+        pb = pb.sort_values(key)[pa.columns].reset_index(drop=True)
+        assert len(pa) == len(pb) and len(pa) > 0
+        for col in pa.columns:
+            if col == "block":
+                assert all(
+                    bytes(x) == bytes(y) for x, y in zip(pa[col], pb[col])
+                )
+            else:
+                assert (
+                    pa[col].astype(str).to_numpy()
+                    == pb[col].astype(str).to_numpy()
+                ).all(), f"{stage}.{col} differs"
+    assert not os.path.exists(str(tmp_path / "fused" / "_staging" / "b1"))
