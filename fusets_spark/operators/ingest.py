@@ -64,23 +64,31 @@ def ingest_from_tokens(
     )
 
     def _pad_nulls(frame: pd.DataFrame, null_cols: list[str]) -> pd.DataFrame:
-        # typed all-null columns; NEVER concat tier+block frames into one —
-        # mixing typed numerics with object Nones coerces the numeric
-        # columns to object dtype and Arrow serialization goes per-element
-        # (measured 2x wall on the whole job). Yielding the two frames
-        # separately keeps every column's dtype intact.
+        # Pad the other kind's columns with NATIVE-dtype placeholders.
+        # Two hard constraints, both measured:
+        #   * NEVER concat tier+block frames into one — mixing typed
+        #     numerics with object Nones coerces the numeric columns to
+        #     object dtype and Arrow serialization goes per-element
+        #     (2x wall on the whole job);
+        #   * NEVER use pandas extension dtypes ("Int64" masked ints) for
+        #     the padded long columns — their Arrow conversion crashed
+        #     Python workers sporadically under load (silent worker exit
+        #     mid-stage, which local mode turns into a hung job). Integer
+        #     placeholders are 0, not null: consumers (split_ingest, the
+        #     pipeline stage filters) select only the columns matching the
+        #     row's `kind`, so padded cells are never read.
         for col in null_cols:
             if col in ("min_ts", "max_ts", "bucket_ts"):
                 frame[col] = pd.Series(pd.NaT, index=frame.index)
-            elif col in ("codec", "block", "tier"):
-                frame[col] = None  # object nulls: string/binary columns
+            elif col in ("codec", "tier"):
+                frame[col] = ""
+            elif col == "block":
+                frame[col] = None  # binary: object column either way
+            elif col in ("n_obs", "sum_val", "n_points", "first_pos",
+                         "last_pos"):
+                frame[col] = np.int64(0)
             else:
-                frame[col] = pd.Series(
-                    np.nan, index=frame.index, dtype="float64"
-                )
-                frame[col] = frame[col].astype("Int64") if col in (
-                    "n_obs", "sum_val", "n_points", "first_pos", "last_pos"
-                ) else frame[col]
+                frame[col] = np.nan
         return frame[order]
 
     def _ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -44,6 +44,7 @@ class Manifest:
     min_ts: str = ""  # ISO min/max bucket_ts of the batch (retention key)
     max_ts: str = ""
     expired: bool = False  # data partition dropped by retention policy
+    superseded_by: str = ""  # compaction rewrote this batch into another
 
 
 def content_hash(df: DataFrame) -> tuple[int, str]:
@@ -206,6 +207,26 @@ class TierStore:
                     json.dump(asdict(m), f)
                 dropped.setdefault(tier, []).append(m.batch_id)
         return dropped
+
+    def mark_superseded(
+        self, tier: str, batch_id: str, new_batch_id: str
+    ) -> None:
+        """Flag a batch as rewritten by compaction and drop its data
+        partition (idempotent). The manifest stays for lineage — content
+        hash still documents what the batch held; the committed set is
+        untouched so resume keeps skipping the original batch id."""
+        import shutil
+
+        m = self.manifest(tier, batch_id)
+        if m is None:
+            return
+        part = os.path.join(self.tier_path(tier), f"batch={batch_id}")
+        if os.path.isdir(part):
+            shutil.rmtree(part)
+        if m.superseded_by != new_batch_id:
+            m.superseded_by = new_batch_id
+            with open(self._manifest_path(tier, batch_id), "w") as f:
+                json.dump(asdict(m), f)
 
     def manifest(self, tier: str, batch_id: str) -> Manifest | None:
         p = self._manifest_path(tier, batch_id)

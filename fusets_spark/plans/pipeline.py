@@ -184,6 +184,46 @@ class RollupPipeline:
             return merge_tier_partials(df)
         return df
 
+    def compact_block_batches(
+        self,
+        spark: SparkSession,
+        batch_ids: list[str],
+        new_batch_id: str,
+        target_seconds: int = 86400,
+    ) -> None:
+        """Rewrite aged fine-block batches into ONE coarser-bucket batch
+        (the TimescaleDB/Iceberg rewrite-compaction step of the retention
+        lifecycle): whole blocks regrouped + re-encoded via
+        codec.compact_blocks — never split, byte-identical to encoding the
+        raw points at target_seconds directly.
+
+        Crash-safe with the same commit discipline as ingest:
+          1. read exactly the source batch partitions (pruned filter),
+             compact, write as `new_batch_id` + manifest, commit watermark;
+          2. drop each source partition and flag its manifest
+             superseded_by=new_batch_id (lineage kept, committed set
+             untouched so resume keeps skipping the old ids).
+        A crash before the step-1 commit resumes by recomputing (overwrite-
+        idempotent); after it, re-running skips straight to finishing the
+        drops (mark_superseded is idempotent)."""
+        from pyspark.sql import functions as F
+
+        from ..codec.blocks import compact_blocks
+
+        if not self.store.is_committed("blocks", new_batch_id):
+            src = (
+                spark.read.parquet(self.store.tier_path("blocks"))
+                .filter(F.col("batch").isin(batch_ids))
+                .drop("batch")
+            )
+            compacted = compact_blocks(src, target_seconds)
+            self.store.write_batch(
+                compacted, "blocks", new_batch_id, self.cfg_hash
+            )
+            self.store.commit_watermark("blocks", new_batch_id)
+        for bid in batch_ids:
+            self.store.mark_superseded("blocks", bid, new_batch_id)
+
     def apply_retention(
         self, now: str, policy: dict[str, float | None] | None = None
     ) -> dict[str, list[str]]:

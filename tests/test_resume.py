@@ -238,3 +238,54 @@ def test_fused_pipeline_equals_per_stage_pipeline(spark, tmp_path):
                     == pb[col].astype(str).to_numpy()
                 ).all(), f"{stage}.{col} differs"
     assert not os.path.exists(str(tmp_path / "fused" / "_staging" / "b1"))
+
+
+def test_block_batch_compaction_lifecycle(spark, tmp_path):
+    """Compacting two aged fine-block batches into one daily batch must
+    preserve every decoded point exactly, keep lineage (superseded
+    manifests), drop the old partitions, and finish idempotently after a
+    crash between commit and cleanup."""
+    from fusets_spark.codec.blocks import decode_blocks
+    from fusets_spark.datagen import generate_tokens
+    from fusets_spark.plans.pipeline import RollupPipeline
+
+    pipe = RollupPipeline(str(tmp_path / "store"), block_seconds=60)
+    t1 = generate_tokens(spark, 25, seed=1, min_tok=32, max_tok=200)
+    t2 = generate_tokens(spark, 25, seed=2, min_tok=32, max_tok=200)
+    pipe.process_batch(t1, "b1")
+    pipe.process_batch(t2, "b2")
+
+    before = (
+        decode_blocks(
+            spark.read.parquet(pipe.store.tier_path("blocks")).drop("batch")
+        )
+        .toPandas()
+        .sort_values(["source", "doc_id", "ts"])
+        .reset_index(drop=True)
+    )
+
+    pipe.compact_block_batches(spark, ["b1", "b2"], "compact-1", 3600)
+
+    tier = spark.read.parquet(pipe.store.tier_path("blocks"))
+    batches = {r.batch for r in tier.select("batch").distinct().collect()}
+    assert batches == {"compact-1"}
+    after = (
+        decode_blocks(tier.drop("batch"))
+        .toPandas()
+        .sort_values(["source", "doc_id", "ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(before, after, check_dtype=False)
+
+    # lineage: old manifests stay, flagged; committed set untouched
+    for bid in ("b1", "b2"):
+        m = pipe.store.manifest("blocks", bid)
+        assert m is not None and m.superseded_by == "compact-1"
+        assert pipe.store.is_committed("blocks", bid)
+    assert pipe.store.is_committed("blocks", "compact-1")
+
+    # idempotent re-run (the crashed-between-commit-and-cleanup path)
+    pipe.compact_block_batches(spark, ["b1", "b2"], "compact-1", 3600)
+    assert spark.read.parquet(pipe.store.tier_path("blocks")).count() == len(
+        tier.collect()
+    )
