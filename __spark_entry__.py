@@ -203,9 +203,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_whittaker_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whittaker gap-fill (reference whittaker.py:123-196) over the event
-    stream: per-series dense 1h grid, λ=100. Non-SQL-expressible (banded
-    solve) -> rows-only check; numeric parity is pinned by
-    tests/test_whittaker.py against a dense-solve numpy oracle."""
+    stream: per-series dense 1h grid, λ=100. FULLY ORACLED since round 3:
+    the banded LDLᵀ solve is replayed in DuckDB as recursive-CTE linear
+    recurrences (see oracle_sql()['whittaker_gapfill']); numeric parity is
+    additionally pinned by tests/test_whittaker.py against a dense-solve
+    numpy oracle."""
     from fusets_spark.operators.whittaker import whittaker_gapfill
 
     pts = _event_points(spark, sf_dir).select(

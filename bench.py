@@ -143,6 +143,35 @@ def _run_with_retry(fn, label: str, retries: int = 1):
             )
 
 
+RETRIED_RUNS: list[str] = []
+
+
+def _timed_retry(fn, label: str, retries: int = 1):
+    """Retry wrapper that times ONLY the successful attempt — the timer (and
+    CPU-delta window) resets per attempt, so a transient failure + retry is
+    never recorded as one inflated measurement. Retried labels are flagged
+    in the artifact (RETRIED_RUNS). Returns (result, wall_sec, cpu_sec)."""
+    for attempt in range(retries + 1):
+        cpu0 = _tree_cpu_sec()
+        t0 = time.monotonic()
+        try:
+            r = fn()
+            dt = time.monotonic() - t0
+            cpu1 = _tree_cpu_sec()
+            cpu = (
+                cpu1 - cpu0 if cpu0 is not None and cpu1 is not None else None
+            )
+            return r, dt, cpu
+        except Exception as e:  # noqa: BLE001 — last attempt re-raises
+            if attempt == retries:
+                raise
+            RETRIED_RUNS.append(label)
+            print(
+                f"bench: {label} failed ({type(e).__name__}), retrying",
+                file=sys.stderr,
+            )
+
+
 def _tree_cpu_sec() -> float | None:
     """Total CPU-seconds (utime+stime from /proc/<pid>/stat) of this
     process and every live descendant — the JVM plus its pyspark Python
@@ -240,17 +269,9 @@ def main() -> None:
         for cores in levels:
             spark = _mk_session(cores)
             for _r in range(RUNS_LO if cores == lo_cores else RUNS_HI):
-                cpu0 = _tree_cpu_sec()
-                t0 = time.monotonic()
-                _run_with_retry(
+                _, dt, cpu = _timed_retry(
                     lambda: _token_rollup_job(spark, corpus, N_DOCS),
                     f"scaling local[{cores}]",
-                )
-                dt = time.monotonic() - t0
-                cpu1 = _tree_cpu_sec()
-                cpu = (
-                    cpu1 - cpu0 if cpu0 is not None and cpu1 is not None
-                    else None
                 )
                 samples[cores].append(round(dt, 3))
                 if dt < best[cores]:
@@ -319,9 +340,10 @@ def main() -> None:
         plans[name] = _plan_fingerprint(df)
         t_best = float("inf")
         for _ in range(2):  # best-of-2: headline sum must not ride one spike
-            t0 = time.monotonic()
-            _run_with_retry(lambda: _noop_write(df), f"headline {name}")
-            t_best = min(t_best, time.monotonic() - t0)
+            _, dt, _cpu = _timed_retry(
+                lambda: _noop_write(df), f"headline {name}"
+            )
+            t_best = min(t_best, dt)
         timings[name] = round(t_best, 3)
     # training-data pipeline ops (documents/embeddings tables are
     # SF-independent) — reported as EXTRA keys; the headline set and
@@ -332,11 +354,10 @@ def main() -> None:
             continue
         # time build + execute: dedup_components iterates (actions) during
         # query construction, so the timer must wrap the callable too
-        t0 = time.monotonic()
-        _run_with_retry(
+        _, dt, _cpu = _timed_retry(
             lambda: _noop_write(qs[name](spark, SF_DIR)), f"training {name}"
         )
-        training[name] = round(time.monotonic() - t0, 3)
+        training[name] = round(dt, 3)
         # dedup ops persist their shingle/signature tables (the materialized
         # index at corpus scale); release them between ops so a long-lived
         # shared session doesn't accumulate cached relations
@@ -348,6 +369,7 @@ def main() -> None:
     out["plan"] = plans
     out["value"] = round(sum(timings.values()), 3)
     out["seq_per_sec_all_tiers"] = round(N_DOCS / best[CPUS], 1)
+    out["retried_runs"] = RETRIED_RUNS
     out["elapsed_sec"] = round(time.monotonic() - T_BENCH0, 1)
     print(json.dumps(out))
 

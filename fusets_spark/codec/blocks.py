@@ -186,7 +186,13 @@ def compact_blocks(
                     "min_ts", "max_ts", "codec", "block",
                 ]
             )
-        pdf = pdf.sort_values(["doc_id", "bucket_ts"], kind="mergesort")
+        # min_ts in the sort key: multi-batch inputs can hold several blocks
+        # for the same (doc_id, bucket_ts) (late-data batches) — without it,
+        # ties fall back to file-read order and the compacted bytes vary
+        # across re-runs, breaking the byte-identity contract.
+        pdf = pdf.sort_values(
+            ["doc_id", "bucket_ts", "min_ts"], kind="mergesort"
+        )
         docs = pdf["doc_id"].to_numpy()
         bkt_us = pdf["bucket_ts"].astype("int64").to_numpy() // 10**3
         coarse = bkt_us - bkt_us % (target_seconds * 10**6)
@@ -197,18 +203,34 @@ def compact_blocks(
         bs = np.flatnonzero(new)
         be = np.r_[bs[1:], len(docs)]
         pt_off = np.r_[0, np.cumsum(counts)]
-        blks = encode_blocks_batched(
-            [ts[pt_off[s] : pt_off[e]] for s, e in zip(bs, be)],
-            [vals[pt_off[s] : pt_off[e]] for s, e in zip(bs, be)],
-        )
+        runs_ts, runs_vals = [], []
+        for s, e in zip(bs, be):
+            rt = ts[pt_off[s] : pt_off[e]]
+            rv = vals[pt_off[s] : pt_off[e]]
+            # Overlapping-block runs (late-data batches for the same series)
+            # may interleave in time or even hold tied timestamps — re-sort
+            # to the CANONICAL (ts, value) order so the compacted bytes are
+            # a pure function of the point multiset, independent of batch /
+            # file-read order. The common single-block case is already
+            # strictly increasing and skips the sort.
+            if len(rt) > 1 and np.any(np.diff(rt) <= 0):
+                order = np.lexsort((rv, rt))
+                rt, rv = rt[order], rv[order]
+            runs_ts.append(rt)
+            runs_vals.append(rv)
+        blks = encode_blocks_batched(runs_ts, runs_vals)
         return pd.DataFrame(
             {
                 "source": np.repeat(pdf["source"].iloc[0], len(bs)),
                 "doc_id": docs[bs],
                 "bucket_ts": pd.to_datetime(coarse[bs] * 10**3),
                 "n_points": (pt_off[be] - pt_off[bs]).astype(np.int64),
-                "min_ts": pd.to_datetime(ts[pt_off[bs]] * 10**3),
-                "max_ts": pd.to_datetime(ts[pt_off[be] - 1] * 10**3),
+                "min_ts": pd.to_datetime(
+                    np.array([rt[0] for rt in runs_ts]) * 10**3
+                ),
+                "max_ts": pd.to_datetime(
+                    np.array([rt[-1] for rt in runs_ts]) * 10**3
+                ),
                 "codec": CODEC_NAME,
                 "block": blks,
             }

@@ -239,30 +239,33 @@ def neardup_components(
                 F.min("label").alias("label"),
                 F.min("old").alias("old"),  # unique per doc
             )
+            .localCheckpoint()
         )
+        # Convergence check BEFORE the jump: a propagation fixed point is
+        # fully converged (any cross-edge label difference would decrease
+        # some min), so the final round — and every round of an
+        # already-converged graph — skips the parent join entirely. The
+        # jump below is purely an accelerator for deep components.
+        changed = hop.filter(F.col("label") < F.col("old")).limit(1).count()
+        if changed == 0:
+            labels = hop.drop("old")
+            break
         # pointer jumping: label <- label(label). Every label is itself a
         # doc id, and a parent's label is ≤ its own id by the min-fold
         # invariant, so one extra self-join halves the pointer depth.
         parent = hop.select(
             F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
         )
-        new_labels = (
+        labels = (
             hop.join(parent, hop["label"] == parent["p_doc"], "left")
             .select(
                 "doc",
                 F.least(
                     F.col("label"), F.coalesce("p_label", "label")
                 ).alias("label"),
-                "old",
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.filter(F.col("label") < F.col("old")).limit(1).count()
-        )
-        labels = new_labels.drop("old")
-        if changed == 0:
-            break
     if changed != 0:
         raise RuntimeError(
             f"neardup_components did not converge in {max_iter} rounds — "

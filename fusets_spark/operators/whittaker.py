@@ -234,8 +234,10 @@ def whittaker_gapfill(
     Results are independent of the grouping (each series lives in exactly
     one bucket).
 
-    groups_per_source: deprecated alias — multiplied by the source count it
-    no longer controls; kept so explicit callers still bound task count.
+    groups_per_source: deprecated alias (DeprecationWarning) — now treated
+    as a direct n_groups bound; it no longer multiplies by the distinct
+    source count (which fired an eager full-input scan at plan time).
+    Results are grouping-independent either way.
     """
 
     def _smooth(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -316,8 +318,19 @@ def whittaker_gapfill(
 
     if n_groups is None:
         if groups_per_source is not None:
-            n_sources = points.select("source").distinct().count()
-            n_groups = groups_per_source * max(n_sources, 1)
+            import warnings
+
+            # No eager distinct-count scan here (the old alias semantics
+            # multiplied by source count, firing a full input scan during
+            # plan construction): the alias now bounds n_groups directly.
+            warnings.warn(
+                "groups_per_source is deprecated; use n_groups. The alias "
+                "is now treated as a direct total-group bound (it no "
+                "longer multiplies by the number of distinct sources).",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+            n_groups = groups_per_source
         else:
             # per_core=2 (not the generic 4): this kernel pays a sequential
             # O(n_grid) loop per group, so fewer/larger groups are faster as

@@ -47,24 +47,37 @@ class Manifest:
     superseded_by: str = ""  # compaction rewrote this batch into another
 
 
-def content_hash(df: DataFrame) -> tuple[int, str]:
-    """(row count, order-insensitive content hash). Hash = bit_xor fold of
-    xxhash64 over every column of every row (canonicalized to strings) plus
-    a modular sum — both order-insensitive and overflow-free, identical
-    under any partitioning/parallelism. The (xor, modsum, count) triple
-    makes accidental collisions (duplicate-row cancellation in xor)
-    detectable."""
+def _manifest_stats(df: DataFrame) -> tuple[int, str, str, str]:
+    """ONE aggregation pass -> (row count, order-insensitive content hash,
+    min/max bucket_ts as ISO strings — empty if the column is absent).
+    Hash = bit_xor fold of xxhash64 over every column of every row
+    (canonicalized to strings) plus a modular sum — both order-insensitive
+    and overflow-free, identical under any partitioning/parallelism. The
+    (xor, modsum, count) triple makes accidental collisions (duplicate-row
+    cancellation in xor) detectable."""
     cols = [F.col(c).cast("string") for c in df.columns]
     row_hash = F.xxhash64(*cols)
-    agg = df.agg(
+    has_ts = "bucket_ts" in df.columns
+    aggs = [
         F.count(F.lit(1)).alias("n"),
         F.expr(f"bit_xor(xxhash64({', '.join(f'cast(`{c}` as string)' for c in df.columns)}))").alias("x"),
         F.sum(F.pmod(row_hash, F.lit(2**31))).alias("s"),
-    ).collect()[0]
+    ]
+    if has_ts:
+        aggs += [F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")]
+    agg = df.agg(*aggs).collect()[0]
     n = int(agg["n"])
     x = int(agg["x"] or 0) & 0xFFFFFFFFFFFFFFFF
     s = int(agg["s"] or 0) % (2**31)
-    return n, f"{x:016x}-{s:08x}"
+    lo = str(agg["lo"]) if has_ts and agg["lo"] is not None else ""
+    hi = str(agg["hi"]) if has_ts and agg["hi"] is not None else ""
+    return n, f"{x:016x}-{s:08x}", lo, hi
+
+
+def content_hash(df: DataFrame) -> tuple[int, str]:
+    """(row count, order-insensitive content hash) — see _manifest_stats."""
+    n, h, _, _ = _manifest_stats(df)
+    return n, h
 
 
 class TierStore:
@@ -144,21 +157,34 @@ class TierStore:
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.tier_path(tier))
         )
-        n, h = content_hash(df)
-        n_bytes = self._tree_bytes(
-            os.path.join(self.tier_path(tier), f"batch={batch_id}")
+        # manifest stats come from the JUST-WRITTEN partition files, not a
+        # second execution of the input plan — on the unfused path the input
+        # is the full corpus scan and recomputing it doubles the batch cost.
+        # Casting back to the input schema normalizes partition-column
+        # inference so the hash is stable across runs.
+        part = os.path.join(self.tier_path(tier), f"batch={batch_id}")
+        back = (
+            df.sparkSession.read.option("basePath", self.tier_path(tier))
+            .parquet(part)
+            .select(
+                *[F.col(f.name).cast(f.dataType) for f in df.schema.fields]
+            )
         )
-        lo, hi = "", ""
-        if "bucket_ts" in df.columns:
-            r = df.agg(
-                F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
-            ).collect()[0]
-            if r["lo"] is not None:
-                lo, hi = str(r["lo"]), str(r["hi"])
+        n, h, lo, hi = _manifest_stats(back)
+        n_bytes = self._tree_bytes(part)
         m = Manifest(tier, batch_id, n, h, config_hash, n_bytes, lo, hi)
-        with open(self._manifest_path(tier, batch_id), "w") as f:
-            json.dump(asdict(m), f)
+        self._write_manifest(m)
         return m
+
+    def _write_manifest(self, m: Manifest) -> None:
+        """Atomic manifest write (temp + rename, same discipline as
+        commit_watermark) — a crash mid-write must never leave truncated
+        JSON that wedges manifest()/resume."""
+        p = self._manifest_path(m.tier, m.batch_id)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(p))
+        with os.fdopen(fd, "w") as f:
+            json.dump(asdict(m), f)
+        os.replace(tmp, p)
 
     @staticmethod
     def _tree_bytes(path: str) -> int:
@@ -203,8 +229,7 @@ class TierStore:
                 if os.path.isdir(part):
                     shutil.rmtree(part)
                 m.expired = True
-                with open(self._manifest_path(tier, m.batch_id), "w") as f:
-                    json.dump(asdict(m), f)
+                self._write_manifest(m)
                 dropped.setdefault(tier, []).append(m.batch_id)
         return dropped
 
@@ -225,8 +250,7 @@ class TierStore:
             shutil.rmtree(part)
         if m.superseded_by != new_batch_id:
             m.superseded_by = new_batch_id
-            with open(self._manifest_path(tier, batch_id), "w") as f:
-                json.dump(asdict(m), f)
+            self._write_manifest(m)
 
     def manifest(self, tier: str, batch_id: str) -> Manifest | None:
         p = self._manifest_path(tier, batch_id)

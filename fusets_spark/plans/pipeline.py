@@ -104,18 +104,21 @@ class RollupPipeline:
         resumes by re-materializing it, and committed stages are skipped
         exactly as before (content is byte-identical either way — the
         fused operator shares the separate operators' frame builders)."""
+        import shutil
+
+        staging = f"{self.store.root}/_staging/{batch_id}"
         pending = [
             s for s in STAGES if not self.store.is_committed(s, batch_id)
         ]
         if not pending:
+            # a crashed fused run may have left staging behind after its
+            # last stage committed — clean it whenever the batch is done
+            shutil.rmtree(staging, ignore_errors=True)
             return
         if fused and len(pending) > 1:
-            import shutil
-
             from ..operators.ingest import ingest_from_tokens
 
             spark = tokens.sparkSession
-            staging = f"{self.store.root}/_staging/{batch_id}"
             ingest_from_tokens(
                 tokens,
                 t0=self.t0,
@@ -146,6 +149,9 @@ class RollupPipeline:
             if fail_after_stage == stage:
                 raise RuntimeError(f"simulated failure after {stage}/{batch_id}")
             self.store.commit_watermark(stage, batch_id)
+        # non-fused completion of a batch whose fused run crashed with one
+        # stage left: its orphaned staging parquet is no longer needed
+        shutil.rmtree(staging, ignore_errors=True)
 
     def run(
         self,

@@ -255,12 +255,16 @@ def test_block_batch_compaction_lifecycle(spark, tmp_path):
     pipe.process_batch(t1, "b1")
     pipe.process_batch(t2, "b2")
 
+    # value in the sort key: the two batches hold tied timestamps for the
+    # same doc_ids with different values, and the comparison is a point
+    # MULTISET check — tied-ts order is canonicalized by (ts, value) during
+    # compaction, not by batch order
     before = (
         decode_blocks(
             spark.read.parquet(pipe.store.tier_path("blocks")).drop("batch")
         )
         .toPandas()
-        .sort_values(["source", "doc_id", "ts"])
+        .sort_values(["source", "doc_id", "ts", "value"])
         .reset_index(drop=True)
     )
 
@@ -272,7 +276,7 @@ def test_block_batch_compaction_lifecycle(spark, tmp_path):
     after = (
         decode_blocks(tier.drop("batch"))
         .toPandas()
-        .sort_values(["source", "doc_id", "ts"])
+        .sort_values(["source", "doc_id", "ts", "value"])
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(before, after, check_dtype=False)
@@ -289,3 +293,39 @@ def test_block_batch_compaction_lifecycle(spark, tmp_path):
     assert spark.read.parquet(pipe.store.tier_path("blocks")).count() == len(
         tier.collect()
     )
+
+
+def test_compact_blocks_deterministic_on_overlap(spark):
+    """Compacted bytes must be a pure function of the point MULTISET:
+    feeding the same overlapping-batch blocks in either batch order (the
+    late-data scenario where two batches hold blocks for the same
+    (doc_id, bucket_ts), including tied timestamps) yields byte-identical
+    compacted blocks with true min/max ts."""
+    from fusets_spark.codec.blocks import (
+        compact_blocks,
+        encode_blocks_from_tokens,
+    )
+    from fusets_spark.datagen import generate_tokens
+
+    b1 = encode_blocks_from_tokens(
+        generate_tokens(spark, 10, seed=1, min_tok=32, max_tok=64),
+        block_seconds=60,
+    )
+    b2 = encode_blocks_from_tokens(
+        generate_tokens(spark, 10, seed=2, min_tok=32, max_tok=64),
+        block_seconds=60,
+    )
+
+    def bag(df):
+        pdf = compact_blocks(df, 3600).toPandas()
+        return sorted(
+            (r.source, r.doc_id, r.bucket_ts, r.min_ts, r.max_ts,
+             bytes(r.block))
+            for r in pdf.itertuples()
+        )
+
+    a = bag(b1.unionByName(b2))
+    b = bag(b2.unionByName(b1))
+    assert a == b
+    for _, _, bucket, lo, hi, _blk in a:
+        assert bucket <= lo <= hi

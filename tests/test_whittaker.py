@@ -85,7 +85,7 @@ def test_spark_gapfill_matches_local_oracle(spark):
     pdf = pd.concat(frames, ignore_index=True)
     sdf = spark.createDataFrame(pdf[["source", "doc_id", "ts", "value"]])
     got = (
-        whittaker_gapfill(sdf, lmbd=1.0, grid_seconds=86400, groups_per_source=2)
+        whittaker_gapfill(sdf, lmbd=1.0, grid_seconds=86400, n_groups=2)
         .toPandas()
         .sort_values(["source", "doc_id", "ts"])
         .reset_index(drop=True)
