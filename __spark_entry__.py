@@ -413,8 +413,12 @@ def q_peakvalley(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCDC harmonic OLS fit (reference ccdc.py:118-154) — rows-only;
-    golden coefficients pinned in tests/test_kernels.py."""
+    """CCDC harmonic OLS fit (reference ccdc.py:118-154) — FULLY ORACLED:
+    the kernel accumulates the Gram system sequentially and solves it by
+    fixed-order elimination, and the DuckDB oracle replays the identical
+    IEEE op sequence (recursive-CTE accumulation + staged-expression
+    elimination). Golden coefficients additionally pinned in
+    tests/test_kernels.py."""
     from fusets_spark.operators.harmonics import harmonic_fit
 
     pts = _event_points(spark, sf_dir).select(
@@ -423,7 +427,7 @@ def q_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = harmonic_fit(pts, num_coefficients=4)
     return out.select(
         "source", "doc_id", "n_obs",
-        *[F.round(f"c{i}", 4).alias(f"c{i}") for i in range(4)],
+        *[_rz(F.col(f"c{i}"), 4).alias(f"c{i}") for i in range(4)],
     )
 
 
@@ -447,8 +451,11 @@ def q_harmonic_fitted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ccdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCDC change detection recast for generic series (reference
     ccdc.py:7-115; the reference wraps lcmap-pyccd and skips its own test)
-    — sequential harmonic segmentation, rows-only; step-change goldens in
-    tests/test_kernels.py."""
+    — FULLY ORACLED: the sequential segmenter fits its k=2 windows from
+    left-to-right running sums + fixed-order elimination, and the DuckDB
+    oracle steps the identical state machine as a recursive CTE
+    (bit-identical anomaly comparisons). Step-change goldens additionally
+    pinned in tests/test_kernels.py."""
     from fusets_spark.operators.ccdc import ccdc_segments
 
     pts = _event_points(spark, sf_dir).select(
@@ -1886,6 +1893,236 @@ FROM g3 WINDOW w AS (PARTITION BY source, doc_id)
 """
 
 
+def _harmonic_fit_oracle() -> str:
+    """Exact replay of harmonic_fit's fixed-order algorithm (see
+    operators/harmonics.py): a recursive CTE accumulates the 4×4 Gram
+    matrix + RHS sequentially in (ts, value) order — the identical IEEE
+    add/multiply sequence the kernel's per-step loop performs — and staged
+    SELECTs replay the no-pivot Gaussian elimination + back-substitution
+    expression-for-expression. Same ops, same order => bit-identical
+    coefficients; verified trig parity (numpy cos/sin == DuckDB cos/sin on
+    the same doubles). Base-case accumulators start at 0.0 + term to match
+    the kernel's start-at-zero accumulation (-0.0 hygiene)."""
+    import math
+
+    w = repr(2 * math.pi / 365.25)
+    return f"""
+WITH RECURSIVE basis AS MATERIALIZED (
+  SELECT source, doc_id, rn, n, y, t,
+         cos({w} * t) AS c, sin({w} * t) AS s
+  FROM (
+    SELECT source, doc_id, y, ts,
+           row_number() OVER wo AS rn,
+           count(*) OVER wp AS n,
+           day - min(day) OVER wp AS t
+    FROM (
+      SELECT event_type AS source, CAST(user_id AS VARCHAR) AS doc_id,
+             value AS y,
+             (epoch_us(ts) // 1000000) / 86400.0 AS day, ts
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    )
+    WINDOW wo AS (PARTITION BY source, doc_id ORDER BY ts, y),
+           wp AS (PARTITION BY source, doc_id)
+  ) WHERE n >= 4
+), acc AS (
+  SELECT source, doc_id, rn, n,
+    0.0::DOUBLE + 1.0*1.0 AS g00,
+    0.0::DOUBLE + 1.0*t   AS g01,
+    0.0::DOUBLE + 1.0*c   AS g02,
+    0.0::DOUBLE + 1.0*s   AS g03,
+    0.0::DOUBLE + t*t AS g11,
+    0.0::DOUBLE + t*c AS g12,
+    0.0::DOUBLE + t*s AS g13,
+    0.0::DOUBLE + c*c AS g22,
+    0.0::DOUBLE + c*s AS g23,
+    0.0::DOUBLE + s*s AS g33,
+    0.0::DOUBLE + 1.0*y AS b0,
+    0.0::DOUBLE + t*y AS b1,
+    0.0::DOUBLE + c*y AS b2,
+    0.0::DOUBLE + s*y AS b3
+  FROM basis WHERE rn = 1
+  UNION ALL
+  SELECT b.source, b.doc_id, b.rn, b.n,
+    a.g00 + 1.0*1.0, a.g01 + 1.0*b.t, a.g02 + 1.0*b.c, a.g03 + 1.0*b.s,
+    a.g11 + b.t*b.t, a.g12 + b.t*b.c, a.g13 + b.t*b.s,
+    a.g22 + b.c*b.c, a.g23 + b.c*b.s, a.g33 + b.s*b.s,
+    a.b0 + 1.0*b.y, a.b1 + b.t*b.y, a.b2 + b.c*b.y, a.b3 + b.s*b.y
+  FROM acc a JOIN basis b ON b.source = a.source AND b.doc_id = a.doc_id
+                         AND b.rn = a.rn + 1
+), fin AS (
+  SELECT * FROM acc WHERE rn = n
+), e0 AS (
+  SELECT *, g01/g00 AS m1, g02/g00 AS m2, g03/g00 AS m3 FROM fin
+), e1 AS (
+  SELECT *,
+    g11 - m1*g01 AS h11, g12 - m1*g02 AS h12, g13 - m1*g03 AS h13,
+    b1 - m1*b0 AS d1,
+    g12 - m2*g01 AS h21, g22 - m2*g02 AS h22, g23 - m2*g03 AS h23,
+    b2 - m2*b0 AS d2,
+    g13 - m3*g01 AS h31, g23 - m3*g02 AS h32, g33 - m3*g03 AS h33,
+    b3 - m3*b0 AS d3
+  FROM e0
+), e2 AS (
+  SELECT *, h21/h11 AS m21, h31/h11 AS m31 FROM e1
+), e3 AS (
+  SELECT *,
+    h22 - m21*h12 AS i22, h23 - m21*h13 AS i23, d2 - m21*d1 AS d2b,
+    h32 - m31*h12 AS i32, h33 - m31*h13 AS i33, d3 - m31*d1 AS d3b
+  FROM e2
+), e4 AS (
+  SELECT *, i32/i22 AS m32 FROM e3
+), e5 AS (
+  SELECT *, i33 - m32*i23 AS j33, d3b - m32*d2b AS d3c FROM e4
+), bsub AS (
+  SELECT *, d3c/j33 AS c3v FROM e5
+), bsub2 AS (
+  SELECT *, (d2b - i23*c3v)/i22 AS c2v FROM bsub
+), bsub3 AS (
+  SELECT *, ((d1 - h12*c2v) - h13*c3v)/h11 AS c1v FROM bsub2
+), bsub4 AS (
+  SELECT *, (((b0 - g01*c1v) - g02*c2v) - g03*c3v)/g00 AS c0v FROM bsub3
+)
+SELECT source, doc_id, n AS n_obs,
+       round(c0v, 4) + 0.0 AS c0, round(c1v, 4) + 0.0 AS c1,
+       round(c2v, 4) + 0.0 AS c2, round(c3v, 4) + 0.0 AS c3
+FROM bsub4
+"""
+
+
+def _ccdc_oracle() -> str:
+    """Exact replay of operators/ccdc.py detect_segments as a recursive-CTE
+    state machine (same family as the peakvalley oracle): one recursion
+    step per observation carrying (segment index, window start, running
+    k=2 Gram sums); the engine fits from identical left-to-right running
+    sums via fixed-order 2×2 elimination, so every anomaly comparison sees
+    bit-identical doubles. Exactness contract: every tested window must be
+    in the k=2 (span < half a year) regime — true for the contract SFs'
+    30-day event series; longer-span inputs take the engine's k>=4 lstsq
+    path which this SQL does not model. The variogram floor replays the
+    engine's quantile_cont-style interpolated median of |successive
+    diffs|."""
+    # fit-from-sums expression fragments, substituted to mirror the
+    # engine's _Sums.fit2 op order exactly
+    nD = "CAST(a.cnt AS DOUBLE)"
+    m1 = f"(a.st / {nD})"
+    h11 = f"(a.stt - {m1}*a.st)"
+    bb = f"((a.sty - {m1}*a.sy) / {h11})"
+    aa = f"((a.sy - a.st*{bb}) / {nD})"
+    ssr = f"((a.syy - {aa}*a.sy) - {bb}*a.sty)"
+    rmse = (
+        f"sqrt(greatest({ssr}, 0.0) / "
+        "CAST(greatest(a.cnt - 2, 1) AS DOUBLE))"
+    )
+    thr = f"(3.0 * greatest({rmse}, b.vario, 1e-9))"
+    brk = (
+        f"(a.cnt >= 8 AND b.rn + 2 <= b.n"
+        f" AND abs(b.y  - ({aa} + (b.t  - a.t_start)*{bb})) > {thr}"
+        f" AND abs(b.y1 - ({aa} + (b.t1 - a.t_start)*{bb})) > {thr}"
+        f" AND abs(b.y2 - ({aa} + (b.t2 - a.t_start)*{bb})) > {thr})"
+    )
+    return f"""
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT source, doc_id, y, day, rn, n,
+         day - min(day) OVER (PARTITION BY source, doc_id) AS t,
+         max(day) OVER (PARTITION BY source, doc_id) AS last_day
+  FROM (
+    SELECT event_type AS source, CAST(user_id AS VARCHAR) AS doc_id,
+           value AS y,
+           (epoch_us(ts) // 1000000) / 86400.0 AS day,
+           row_number() OVER (PARTITION BY event_type, user_id
+                              ORDER BY ts, value) AS rn,
+           count(*) OVER (PARTITION BY event_type, user_id) AS n
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+  )
+), dr AS (
+  SELECT source, doc_id, d,
+         row_number() OVER (PARTITION BY source, doc_id ORDER BY d) AS r,
+         count(*) OVER (PARTITION BY source, doc_id) AS m
+  FROM (
+    SELECT source, doc_id,
+           abs(y - lag(y) OVER (PARTITION BY source, doc_id
+                                ORDER BY rn)) AS d
+    FROM base
+  ) WHERE d IS NOT NULL
+), vf AS MATERIALIZED (
+  SELECT source, doc_id,
+         dlo + (dhi - dlo) * frac AS vario
+  FROM (
+    SELECT source, doc_id,
+      max(CASE WHEN r = CAST(floor((m-1)*0.5) AS BIGINT) + 1
+               THEN d END) AS dlo,
+      max(CASE WHEN r = least(CAST(floor((m-1)*0.5) AS BIGINT) + 2, m)
+               THEN d END) AS dhi,
+      any_value((m-1)*0.5 - floor((m-1)*0.5)) AS frac
+    FROM dr GROUP BY 1, 2
+  )
+), src AS MATERIALIZED (
+  SELECT base.*, coalesce(vf.vario, 0.0) AS vario,
+         lead(t, 1) OVER ws AS t1, lead(y, 1) OVER ws AS y1,
+         lead(t, 2) OVER ws AS t2, lead(y, 2) OVER ws AS y2
+  FROM base LEFT JOIN vf USING (source, doc_id)
+  WINDOW ws AS (PARTITION BY source, doc_id ORDER BY rn)
+), rec AS (
+  SELECT source, doc_id, rn, n,
+    (n < 8) AS done,
+    0 AS seg, 1::BIGINT AS start_rn,
+    day AS day_start, t AS t_start, day AS prev_day,
+    1::BIGINT AS cnt,
+    0.0::DOUBLE AS st, 0.0::DOUBLE AS stt,
+    0.0::DOUBLE + y AS sy, 0.0::DOUBLE AS sty,
+    0.0::DOUBLE + y*y AS syy,
+    CASE WHEN n < 8 THEN 0 END AS e_seg,
+    CASE WHEN n < 8 THEN day END AS e_start,
+    CASE WHEN n < 8 THEN last_day END AS e_end,
+    CAST(NULL AS DOUBLE) AS e_brk,
+    CASE WHEN n < 8 THEN n END AS e_n,
+    CAST(NULL AS INTEGER) AS s_seg,
+    CAST(NULL AS DOUBLE) AS s_start,
+    CAST(NULL AS DOUBLE) AS s_end,
+    CAST(NULL AS BIGINT) AS s_n
+  FROM src WHERE rn = 1
+  UNION ALL
+  SELECT b.source, b.doc_id, b.rn, b.n,
+    CASE WHEN {brk} AND b.n - b.rn + 1 < 8 THEN TRUE ELSE FALSE END,
+    CASE WHEN {brk} THEN a.seg + 1 ELSE a.seg END,
+    CASE WHEN {brk} THEN b.rn ELSE a.start_rn END,
+    CASE WHEN {brk} THEN b.day ELSE a.day_start END,
+    CASE WHEN {brk} THEN b.t ELSE a.t_start END,
+    b.day,
+    CASE WHEN {brk} THEN 1 ELSE a.cnt + 1 END,
+    CASE WHEN {brk} THEN 0.0 ELSE a.st + (b.t - a.t_start) END,
+    CASE WHEN {brk} THEN 0.0
+         ELSE a.stt + (b.t - a.t_start)*(b.t - a.t_start) END,
+    CASE WHEN {brk} THEN 0.0 + b.y ELSE a.sy + b.y END,
+    CASE WHEN {brk} THEN 0.0 ELSE a.sty + (b.t - a.t_start)*b.y END,
+    CASE WHEN {brk} THEN 0.0 + b.y*b.y ELSE a.syy + b.y*b.y END,
+    CASE WHEN {brk} THEN a.seg
+         WHEN b.rn = b.n THEN a.seg END,
+    CASE WHEN {brk} THEN a.day_start
+         WHEN b.rn = b.n THEN a.day_start END,
+    CASE WHEN {brk} THEN a.prev_day
+         WHEN b.rn = b.n THEN b.day END,
+    CASE WHEN {brk} THEN b.day END,
+    CASE WHEN {brk} THEN a.cnt
+         WHEN b.rn = b.n THEN a.cnt + 1 END,
+    CASE WHEN {brk} AND b.n - b.rn + 1 < 8 THEN a.seg + 1 END,
+    CASE WHEN {brk} AND b.n - b.rn + 1 < 8 THEN b.day END,
+    CASE WHEN {brk} AND b.n - b.rn + 1 < 8 THEN b.last_day END,
+    CASE WHEN {brk} AND b.n - b.rn + 1 < 8 THEN b.n - b.rn + 1 END
+  FROM rec a
+  JOIN src b ON b.source = a.source AND b.doc_id = a.doc_id
+            AND b.rn = a.rn + 1
+  WHERE NOT a.done
+)
+SELECT source, doc_id, e_seg AS segment, e_start AS start_day,
+       e_end AS end_day, e_brk AS break_day, e_n AS n_obs
+FROM rec WHERE e_seg IS NOT NULL
+UNION ALL
+SELECT source, doc_id, s_seg, s_start, s_end, CAST(NULL AS DOUBLE), s_n
+FROM rec WHERE s_seg IS NOT NULL
+"""
+
+
 _NUM_SEASONS_ORACLE = """
 WITH RECURSIVE p AS (
   SELECT event_type AS source, CAST(user_id AS VARCHAR) AS doc_id, value,
@@ -2385,6 +2622,8 @@ GROUP BY 1, 2, 3
         "whittaker_gapfill": _whittaker_oracle(),
         "peakvalley": _peakvalley_oracle(),
         "harmonic_fitted": _HARMONIC_FITTED_ORACLE,
+        "harmonic_fit": _harmonic_fit_oracle(),
+        "ccdc_segments": _ccdc_oracle(),
         "gorilla_roundtrip": """
 SELECT event_type AS source,
        CAST(user_id AS VARCHAR) AS doc_id,

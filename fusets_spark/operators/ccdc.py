@@ -42,6 +42,21 @@ SEGMENT_SCHEMA = (
 )
 
 
+def _vario(y: np.ndarray) -> float:
+    """Median absolute successive difference with quantile_cont-style
+    interpolation (lower + (upper-lower)*frac) so the DuckDB oracle's
+    windowed replay computes the identical double — np.median's (a+b)/2
+    for even counts can differ in the last ULP."""
+    if len(y) < 2:
+        return 0.0
+    d = np.sort(np.abs(np.diff(y)))
+    m = len(d)
+    pos = (m - 1) * 0.5
+    flo = int(np.floor(pos))
+    frac = pos - flo
+    return float(d[flo] + (d[min(flo + 1, m - 1)] - d[flo]) * frac)
+
+
 def detect_segments(
     t_days: np.ndarray,
     y: np.ndarray,
@@ -51,14 +66,24 @@ def detect_segments(
     chi: float = 3.0,
 ) -> list[tuple[float, float, float | None, int, float]]:
     """Sequential CCDC segmentation of one series. Returns a list of
-    (start_day, end_day, break_day|None, n_obs, rmse) tuples."""
+    (start_day, end_day, break_day|None, n_obs, rmse) tuples.
+
+    Deterministic-replay discipline (the driver's DuckDB oracle steps the
+    same state machine in a recursive CTE): the linear (k=2) model — which
+    every window whose span is under half a year uses, see _k — is fit from
+    RUNNING SUMS accumulated strictly left-to-right and solved by the same
+    fixed-order 2×2 elimination the oracle's SQL expressions spell out, so
+    every anomaly comparison sees bit-identical doubles on both sides.
+    Windows long enough for harmonic terms (k>=4, spans >= half a year)
+    fall back to the lstsq path; the SQL oracle's exactness contract covers
+    the k=2 regime (the driver SF's 30-day series never leave it)."""
     n = len(y)
     t = t_days - t_days[0]
     # variogram floor (pyccd's adjusted variogram): a freshly-initialized
-    # harmonic nearly interpolates short windows, so in-sample RMSE
+    # model nearly interpolates short windows, so in-sample RMSE
     # underestimates the noise and everything looks anomalous; the median
     # absolute successive difference is a robust noise scale instead.
-    vario = float(np.median(np.abs(np.diff(y)))) if n > 1 else 0.0
+    vario = _vario(y)
 
     def _k(lo: int, hi: int) -> int:
         # pyccd selects model complexity by observation count; we also gate
@@ -78,17 +103,63 @@ def detect_segments(
             kk = 2  # intercept + slope only
         return min(kk, num_coefficients)
 
-    def fit(lo: int, hi: int):
-        k = _k(lo, hi)
+    class _Sums:
+        """Running k=2 sums over the current window, accumulated
+        left-to-right relative to the window's t origin."""
+
+        def __init__(self, lo: int):
+            self.lo = lo
+            self.m = 0
+            self.st = self.stt = self.sy = self.sty = self.syy = 0.0
+
+        def add(self, j: int) -> None:
+            tt = t[j] - t[self.lo]
+            yj = y[j]
+            self.st = self.st + tt
+            self.stt = self.stt + tt * tt
+            self.sy = self.sy + yj
+            self.sty = self.sty + tt * yj
+            self.syy = self.syy + yj * yj
+            self.m += 1
+
+        def fit2(self) -> tuple[float, float, float]:
+            """(intercept a, slope b, rmse) via fixed-order elimination of
+            the 2×2 normal equations — the exact expression sequence the
+            SQL oracle replays."""
+            nD = float(self.m)
+            m1 = self.st / nD
+            h11 = self.stt - m1 * self.st
+            d1 = self.sty - m1 * self.sy
+            b = d1 / h11
+            a = (self.sy - self.st * b) / nD
+            ssr = (self.syy - a * self.sy) - b * self.sty
+            cl = max(ssr, 0.0)
+            dof = max(self.m - 2, 1)
+            rmse = float(np.sqrt(cl / dof))
+            return a, b, rmse
+
+    def fit_general(lo: int, hi: int, k: int):
         X = design_matrix(t[lo:hi] - t[lo], max(k, 4))[:, :k]
         coef, *_ = np.linalg.lstsq(X, y[lo:hi], rcond=None)
         resid = y[lo:hi] - X @ coef
         dof = max(hi - lo - k, 1)
         rmse = float(np.sqrt(resid @ resid / dof))
-        return (coef, k), rmse
+        return coef, rmse
+
+    def window_model(sums: _Sums, hi: int):
+        """model = (k, a, b, coef) + rmse for window [sums.lo, hi)."""
+        k = _k(sums.lo, hi)
+        if k == 2:
+            a, b, rmse = sums.fit2()
+            return (2, a, b, None), rmse
+        coef, rmse = fit_general(sums.lo, hi, k)
+        return (k, 0.0, 0.0, coef), rmse
 
     def predict(model, lo: int, idx: np.ndarray) -> np.ndarray:
-        coef, k = model
+        k, a, b, coef = model
+        if k == 2:
+            # a + tl*b, elementwise — the oracle's expression order
+            return a + (t[idx] - t[lo]) * b
         return design_matrix(t[idx] - t[lo], max(k, 4))[:, :k] @ coef
 
     segments = []
@@ -101,7 +172,10 @@ def detect_segments(
             )
             break
         i = start + min_obs
-        model, rmse = fit(start, i)
+        sums = _Sums(start)
+        for j in range(start, i):
+            sums.add(j)
+        model, rmse = window_model(sums, i)
         broke = False
         while i < n:
             look = np.arange(i, min(i + peek, n))
@@ -115,10 +189,10 @@ def detect_segments(
                 start = i
                 broke = True
                 break
-            model, rmse = fit(start, i + 1)
+            sums.add(i)
+            model, rmse = window_model(sums, i + 1)
             i += 1
         if not broke:
-            model, rmse = fit(start, n)
             segments.append(
                 (float(t_days[start]), float(t_days[n - 1]), None, n - start, rmse)
             )

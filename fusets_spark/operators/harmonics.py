@@ -42,6 +42,36 @@ def fit_harmonics_series(
     return coef
 
 
+def solve_normal_equations_fixed_order(
+    G: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Solve G c = b per series via Gaussian elimination WITHOUT pivoting in
+    a FIXED operation order, vectorized across series (G: (S, K, K),
+    b: (S, K)). The op sequence (k ascending, rows i ascending, each update
+    one multiply then one subtract; back-substitution accumulating j
+    ascending) is the exact sequence the DuckDB oracle replays as staged
+    SQL expressions — identical IEEE doubles on both sides. G is SPD for
+    any series with ≥ K distinct observation times, so no pivoting is
+    needed for the solve to be well-defined."""
+    G = G.copy()
+    b = b.copy()
+    S, K = b.shape
+    for k in range(K):
+        piv = G[:, k, k]
+        for i in range(k + 1, K):
+            m = G[:, i, k] / piv
+            for j in range(k + 1, K):
+                G[:, i, j] = G[:, i, j] - m * G[:, k, j]
+            b[:, i] = b[:, i] - m * b[:, k]
+    c = np.zeros((S, K))
+    for i in range(K - 1, -1, -1):
+        r = b[:, i].copy()
+        for j in range(i + 1, K):
+            r = r - G[:, i, j] * c[:, j]
+        c[:, i] = r / G[:, i, i]
+    return c
+
+
 def harmonic_fit(
     df: DataFrame,
     num_coefficients: int = 4,
@@ -50,26 +80,95 @@ def harmonic_fit(
     """Per-series harmonic coefficients over (source, doc_id, ts, value).
 
     Output: (source, doc_id, n_obs, c0..c{k-1}) with c0=intercept,
-    c1=slope/day, then cos/sin pairs per harmonic."""
+    c1=slope/day, then cos/sin pairs per harmonic.
+
+    Deterministic-by-construction OLS (reference ccdc.py:118-154 uses a
+    lasso with tiny regularization; plain least squares matches within the
+    reference's own test tolerance, tests/test_ccdc.py:32-34 atol=3): the
+    Gram matrix/RHS are accumulated SEQUENTIALLY over observations in
+    (ts, value) order — a short loop over the padded time axis, vectorized
+    across all series of the task — and the K×K system is solved by
+    fixed-order elimination (solve_normal_equations_fixed_order). Every
+    IEEE operation happens in a defined order, so the driver's DuckDB
+    oracle replays the identical arithmetic via a recursive-CTE
+    accumulation + staged-expression elimination and matches bit-for-bit,
+    which an SVD/lstsq path could not guarantee on near-collinear designs.
+    """
     cols = ", ".join(f"c{i} double" for i in range(num_coefficients))
     schema = f"source string, doc_id string, n_obs long, {cols}"
+    K = num_coefficients
+    w = 2 * np.pi / AVG_DAYS_YR
 
     def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["doc_id", "ts"], kind="mergesort")
-        rows = []
-        for doc, g in pdf.groupby("doc_id", sort=False):
-            day = (g["ts"].astype("int64") // 10**9).to_numpy() / 86400.0
-            y = g["value"].to_numpy(np.float64)
-            ok = ~np.isnan(y)
-            if ok.sum() < num_coefficients:
-                continue
-            coef = fit_harmonics_series(day, y, num_coefficients)
-            rows.append((g["source"].iloc[0], doc, int(ok.sum()), *coef))
-        return pd.DataFrame(
-            rows,
-            columns=["source", "doc_id", "n_obs"]
-            + [f"c{i}" for i in range(num_coefficients)],
+        empty = pd.DataFrame(
+            {
+                "source": pd.Series(dtype=object),
+                "doc_id": pd.Series(dtype=object),
+                "n_obs": pd.Series(dtype=np.int64),
+                **{f"c{i}": pd.Series(dtype=np.float64) for i in range(K)},
+            }
         )
+        if not len(pdf):
+            return empty
+        pdf = pdf.sort_values(["doc_id", "ts", "value"], kind="mergesort")
+        y_all = pdf["value"].to_numpy(np.float64)
+        okm = ~np.isnan(y_all)
+        pdf = pdf.loc[okm]
+        y_all = y_all[okm]
+        if not len(pdf):
+            return empty
+        docs = pdf["doc_id"].to_numpy()
+        day = (pdf["ts"].astype("int64").to_numpy() // 10**9) / 86400.0
+        new = np.r_[True, docs[1:] != docs[:-1]]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.r_[starts, len(docs)])
+        keep = lens >= K
+        starts, lens = starts[keep], lens[keep]
+        if not len(starts):
+            return empty
+        S = len(starts)
+        n_max = int(lens.max())
+        # padded (S, n_max) arrays; padding is exactly 0.0 everywhere so a
+        # padded step adds +0.0 to every accumulator — bit-preserving (the
+        # accumulators are never -0.0: they start at +0.0 and IEEE
+        # round-to-nearest cancellation yields +0.0)
+        T = np.zeros((S, n_max))
+        Y = np.zeros((S, n_max))
+        mask = np.arange(n_max)[None, :] < lens[:, None]
+        idx = starts[:, None] + np.minimum(
+            np.arange(n_max)[None, :], lens[:, None] - 1
+        )
+        T[mask] = (day[idx] - day[starts][:, None])[mask]
+        Y[mask] = y_all[idx][mask]
+        # basis functions per (series, step): 1, t, cos(kwt), sin(kwt)
+        B = np.zeros((S, n_max, K))
+        B[:, :, 0] = np.where(mask, 1.0, 0.0)
+        B[:, :, 1] = T
+        for h in range(1, (K - 2) // 2 + 1):
+            wt = (h * w) * T
+            B[:, :, 2 * h] = np.where(mask, np.cos(wt), 0.0)
+            B[:, :, 2 * h + 1] = np.where(mask, np.sin(wt), 0.0)
+        G = np.zeros((S, K, K))
+        rhs = np.zeros((S, K))
+        for i in range(n_max):
+            f = B[:, i, :]
+            y = Y[:, i]
+            for p in range(K):
+                for q in range(p, K):
+                    G[:, p, q] = G[:, p, q] + f[:, p] * f[:, q]
+                rhs[:, p] = rhs[:, p] + f[:, p] * y
+        for p in range(K):
+            for q in range(p):
+                G[:, p, q] = G[:, q, p]
+        coef = solve_normal_equations_fixed_order(G, rhs)
+        out = {
+            "source": pdf["source"].to_numpy()[starts],
+            "doc_id": docs[starts],
+            "n_obs": lens.astype(np.int64),
+        }
+        for i in range(K):
+            out[f"c{i}"] = coef[:, i]
+        return pd.DataFrame(out)
 
     from ..session import default_groups, repartition_for_kernel
 
