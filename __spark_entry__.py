@@ -470,8 +470,15 @@ def q_ccdc_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mogpr_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOGPR-recast multi-signal fusion (reference mogpr.py:139-221) with
-    fixed hyperparameters — rows-only; shape contract + determinism pinned
-    in tests/test_kernels.py. Signals = event_type per user."""
+    fixed hyperparameters. Signals = event_type per user. Driver check is
+    rows-only (the joint dense-GP solve over ~70 coupled observations has
+    no faithful SQL form), but the kernel carries a DIFFERENTIAL ORACLE:
+    tests/test_fusion_differential.py re-derives every output row of the
+    real sf0.001/sf0.01 events tables through an independent LU +
+    explicit-inverse implementation and matches to <1e-8 — the
+    cross-implementation check the reference's irreproducible L-BFGS fits
+    cannot provide. Shape contract + determinism also in
+    tests/test_kernels.py."""
     from fusets_spark.operators.fusion import mogpr_fuse
 
     pts = _t(spark, sf_dir, "events").select(
