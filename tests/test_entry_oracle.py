@@ -94,3 +94,25 @@ def test_entry_smoke(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.1"])
+def test_ivf_oracle_exact_off_contract_sf(spark, sf_dir):
+    """ann_ivf_topk parity OFF the contract SF (VERDICT r3 #9): the query
+    applies the frozen contract-SF quantizer at every sf_dir, so the
+    oracle's embedded literal centroids match at sf0.001 and sf0.1 too."""
+    mod = _entry_mod()
+    got = _canon(mod.queries()["ann_ivf_topk"](spark, sf_dir).toPandas())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    want = _canon(con.execute(mod.oracle_sql()["ann_ivf_topk"]).df())
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=True
+    )

@@ -342,3 +342,32 @@ def test_resize_raw_media_exact_and_modes_agree(spark):
         assert bytes(pix[mid].resized) == bytes(
             g.sort_values(["y", "x"])["px"].astype(np.uint8).to_numpy().tobytes()
         )
+
+
+def test_bmp_decode_roundtrip():
+    """decode_bmp must invert a hand-built 8-bit BMP: bottom-up rows,
+    4-byte padding, palette skipped — and take the real (non-fake) path in
+    extract_media_features."""
+    import numpy as np
+
+    from fusets_spark.operators.multimodal import (
+        _decode_one,
+        bmp8_header,
+        decode_bmp,
+    )
+
+    rng = np.random.default_rng(3)
+    for w, h in [(10, 6), (16, 4), (1, 1), (13, 7)]:
+        arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        stride = ((w * 8 + 31) // 32) * 4
+        rows = []
+        for fy in range(h):           # bottom-up storage
+            row = arr[h - 1 - fy]
+            rows.append(row.tobytes() + b"\x00" * (stride - w))
+        payload = bmp8_header(w, h) + b"".join(rows)
+        dw, dh, got = decode_bmp(payload)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(got, arr)
+        fw, fh, nframes, mi = _decode_one(payload, "image", fake=False)
+        assert (fw, fh, nframes) == (w, h, 1)
+        assert mi == float(arr.mean())
