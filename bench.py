@@ -370,6 +370,12 @@ def main() -> None:
     out["value"] = round(sum(timings.values()), 3)
     out["seq_per_sec_all_tiers"] = round(N_DOCS / best[CPUS], 1)
     out["retried_runs"] = RETRIED_RUNS
+    # fold in the manually-run 10x scale-proof evidence (scale_bench.py)
+    # so the per-round artifact carries it
+    scale_path = os.path.join(REPO, "SCALE.json")
+    if os.path.exists(scale_path):
+        with open(scale_path) as f:
+            out["scale_proof"] = json.load(f)
     out["elapsed_sec"] = round(time.monotonic() - T_BENCH0, 1)
     print(json.dumps(out))
 

@@ -184,6 +184,7 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
 
 def neardup_components(
     docs: DataFrame, pairs: DataFrame, max_iter: int = 25,
+    jump_after: int = 3,
     _rounds_out: list | None = None,
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs + survivor
@@ -204,6 +205,14 @@ def neardup_components(
     Raises RuntimeError if max_iter rounds did not converge (silently
     returning partially-propagated labels would produce WRONG components
     that only an exact-closure oracle would catch).
+
+    jump_after: pointer jumping starts only after this many plain
+    propagation rounds. Real near-dup graphs are overwhelmingly shallow
+    (boilerplate clusters, diameter 2-4) and each jump costs an extra
+    join + materialization per round — so the common case converges on
+    cheap fold-only rounds, while a pathological deep chain still
+    finishes in jump_after + O(log diameter) rounds (chain-of-1000 test:
+    ≤15).
 
     Output: (doc_id, component, is_survivor) with component = min doc_id of
     the cluster, survivor = the min doc itself.
@@ -250,6 +259,9 @@ def neardup_components(
         if changed == 0:
             labels = hop.drop("old")
             break
+        if rounds <= jump_after:
+            labels = hop.drop("old")
+            continue
         # pointer jumping: label <- label(label). Every label is itself a
         # doc id, and a parent's label is ≤ its own id by the min-fold
         # invariant, so one extra self-join halves the pointer depth.

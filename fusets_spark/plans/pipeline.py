@@ -236,3 +236,52 @@ class RollupPipeline:
         """Drop batch partitions past each tier's horizon (see
         TierStore.apply_retention); commit state and lineage stay intact."""
         return self.store.apply_retention(policy or DEFAULT_RETENTION, now)
+
+
+def main(argv: list[str] | None = None) -> None:
+    """spark-submit entrypoint (the deployment shape in the module
+    docstring):
+
+        spark-submit --py-files fusets_spark.zip \\
+            -m fusets_spark.plans.pipeline <input_root> <store_root> \\
+            [--t0 ...] [--block-seconds N] [--retention-now ISO]
+
+    <input_root> holds one parquet subdirectory per batch (batch id =
+    directory name; on Iceberg, snapshot ranges take this role). Committed
+    batches are skipped via the TierStore watermark set, so re-running the
+    same command after any crash resumes exactly."""
+    import argparse
+    import os
+
+    from pyspark.sql import SparkSession
+
+    ap = argparse.ArgumentParser(description="fusets_spark rollup pipeline")
+    ap.add_argument("input_root", help="dir of per-batch parquet subdirs")
+    ap.add_argument("store_root", help="tier-store root")
+    ap.add_argument("--t0", default="2024-01-01 00:00:00")
+    ap.add_argument("--block-seconds", type=int, default=3600)
+    ap.add_argument(
+        "--retention-now",
+        default=None,
+        help="apply the default retention policy as of this ISO timestamp",
+    )
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("fusets-rollup").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pipe = RollupPipeline(
+        args.store_root, t0=args.t0, block_seconds=args.block_seconds
+    )
+    batches = {
+        name: spark.read.parquet(os.path.join(args.input_root, name))
+        for name in sorted(os.listdir(args.input_root))
+        if os.path.isdir(os.path.join(args.input_root, name))
+    }
+    pipe.run(spark, batches)
+    if args.retention_now:
+        dropped = pipe.apply_retention(args.retention_now)
+        print(f"retention dropped: {dropped}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,228 @@
+"""Scale-proof run (the empirical 100× argument): 10× the per-round bench
+corpus — 8M token sequences, ~2×10⁹ points — through BOTH the raw fused
+ingest job and the FULL production pipeline lifecycle (fused ingest commit
+→ late-data batch + exact partial merge → block rewrite compaction →
+retention), at two parallelism levels.
+
+Not part of the per-round bench.py (whose budget is ~5 minutes): run
+manually, results land in SCALE.json at the repo root and bench.py folds
+them into its JSON line (key "scale_proof") so the round artifact carries
+the evidence. Usage:
+
+    python scale_bench.py            # 8M docs, levels 16 and 32
+    SCALE_N_DOCS=2000000 python scale_bench.py   # smaller dry run
+
+Measurements per level: wall + process-tree CPU-seconds per stage, peak
+process-tree RSS (sampled at 4 Hz), ingest-only throughput in seq/s
+(directly comparable to bench.py's sf0.1 `seq_per_sec` figure — the
+within-20% criterion), and end-to-end pipeline wall.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+N_DOCS = int(os.environ.get("SCALE_N_DOCS", "8000000"))
+LEVELS = [int(x) for x in os.environ.get("SCALE_LEVELS", "16,32").split(",")]
+CORPUS = f"/tmp/fusets_scale_tokens_{N_DOCS}"
+LATE = f"/tmp/fusets_scale_late_{N_DOCS}"
+STORE = "/tmp/fusets_scale_store"
+
+
+def _tree_pids() -> list[int]:
+    me = os.getpid()
+    ppid = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                ppid[int(d)] = int(f.read().rsplit(")", 1)[1].split()[1])
+        except OSError:
+            continue
+
+    def in_tree(pid: int) -> bool:
+        seen = set()
+        while pid > 1 and pid in ppid and pid not in seen:
+            if pid == me:
+                return True
+            seen.add(pid)
+            pid = ppid[pid]
+        return pid == me
+
+    return [p for p in ppid if in_tree(p)]
+
+
+def _tree_rss_bytes() -> int:
+    total = 0
+    page = os.sysconf("SC_PAGE_SIZE")
+    for p in _tree_pids():
+        try:
+            with open(f"/proc/{p}/statm") as f:
+                total += int(f.read().split()[1]) * page
+        except OSError:
+            continue
+    return total
+
+
+class RssSampler:
+    """Peak process-tree RSS, sampled at 4 Hz in a daemon thread."""
+
+    def __init__(self) -> None:
+        self.peak = 0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            self.peak = max(self.peak, _tree_rss_bytes())
+            self._stop.wait(0.25)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=2)
+
+
+def main() -> None:
+    # local mode hosts every executor thread inside the ONE driver JVM, so
+    # size its heap like the executor fleet it stands in for (32 tasks ×
+    # ~1.5g like a real cluster's executor memory): the default 8g heap
+    # OOMs in parquet read/write at 32 concurrent tasks over the 10x
+    # corpus, which a multi-JVM cluster would never see.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    from bench import _noop_write, _tree_cpu_sec
+
+    from fusets_spark.datagen import generate_tokens
+    from fusets_spark.operators.ingest import ingest_from_tokens
+    from fusets_spark.plans.pipeline import RollupPipeline
+    from fusets_spark.session import get_spark, ship_package
+
+    def _mk_session(cores: int):
+        spark = get_spark(
+            "fusets-scale",
+            cores=cores,
+            shuffle_partitions=max(2 * cores, 16),
+            extra_conf={
+                "spark.python.worker.faulthandler.enabled": "true",
+                "spark.sql.execution.pyspark.udf.faulthandler.enabled": "true",
+                # a silently-dying Python worker hangs a local-mode job
+                # forever (observed ~1/10 heavy runs under memory
+                # pressure); speculation resubmits the straggler — the
+                # same setting a production fleet runs with for slow or
+                # lost executors
+                "spark.speculation": "true",
+                "spark.speculation.multiplier": "4",
+                "spark.speculation.quantile": "0.9",
+            },
+        )
+        ship_package(spark)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return spark
+
+    out: dict = {"n_docs": N_DOCS, "levels": {}}
+
+    # --- one-time corpus materialization (not timed) ----------------------
+    prep = _mk_session(max(LEVELS))
+    if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+        print(f"scale: generating {N_DOCS} docs at {CORPUS}", file=sys.stderr)
+        generate_tokens(
+            prep, N_DOCS, min_tok=128, max_tok=384, partitions=512
+        ).write.mode("overwrite").parquet(CORPUS)
+    if not os.path.exists(os.path.join(LATE, "_SUCCESS")):
+        # late batch: 1% extra sequences, same time range -> real cross-batch
+        # partial merges on shared (series, bucket) keys
+        generate_tokens(
+            prep, N_DOCS // 100, seed=77, min_tok=128, max_tok=384,
+            partitions=32,
+        ).write.mode("overwrite").parquet(LATE)
+    out["corpus_bytes"] = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(CORPUS) for f in fs
+    )
+    prep.stop()
+
+    for cores in LEVELS:
+        spark = _mk_session(cores)
+        level: dict = {}
+        toks = spark.read.parquet(CORPUS)
+        late = spark.read.parquet(LATE)
+
+        with RssSampler() as rss:
+            # (1) raw fused ingest job — bench.py's seq/s unit. Best-of-2:
+            # the first run after a session hand-off pays JIT warmup plus
+            # the OS reclaiming the previous level's worker memory, which
+            # once inflated a single-run local[32] wall by 2x.
+            samples = []
+            for _ in range(2):
+                cpu0, t0 = _tree_cpu_sec(), time.monotonic()
+                _noop_write(ingest_from_tokens(toks, block_seconds=3600))
+                samples.append(
+                    (time.monotonic() - t0, _tree_cpu_sec() - cpu0)
+                )
+            wall, cpu = min(samples)
+            level["ingest_noop_sec"] = round(wall, 1)
+            level["ingest_noop_cpu_sec"] = round(cpu, 1)
+            level["ingest_samples"] = [round(w, 1) for w, _ in samples]
+            level["seq_per_sec"] = round(N_DOCS / level["ingest_noop_sec"], 1)
+
+            # (2) full pipeline lifecycle against a fresh store
+            shutil.rmtree(STORE, ignore_errors=True)
+            pipe = RollupPipeline(STORE, block_seconds=3600)
+            stages: dict[str, float] = {}
+
+            def timed(name, fn):
+                c0, s0 = _tree_cpu_sec(), time.monotonic()
+                fn()
+                stages[name] = round(time.monotonic() - s0, 1)
+                stages[name + "_cpu"] = round(_tree_cpu_sec() - c0, 1)
+
+            timed("commit_main", lambda: pipe.process_batch(toks, "b1"))
+            timed("commit_late", lambda: pipe.process_batch(late, "b2"))
+            timed(
+                "merged_read_1m",
+                lambda: _noop_write(pipe.read_tier(spark, "1m", merged=True)),
+            )
+            timed(
+                "compact_blocks",
+                lambda: pipe.compact_block_batches(
+                    spark, ["b1", "b2"], "compact-1", 86400
+                ),
+            )
+            timed(
+                "retention",
+                lambda: pipe.apply_retention("2024-02-15 00:00:00"),
+            )
+            level["pipeline_stages"] = stages
+            level["pipeline_e2e_sec"] = round(
+                sum(v for k, v in stages.items() if not k.endswith("_cpu")), 1
+            )
+        level["peak_rss_gib"] = round(rss.peak / 2**30, 2)
+        level["store_bytes"] = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(STORE) for f in fs
+        )
+        out["levels"][f"local[{cores}]"] = level
+        spark.stop()
+        print(f"scale local[{cores}]: {level}", file=sys.stderr)
+
+    out["loadavg"] = open("/proc/loadavg").read().split()[:3]
+    with open(os.path.join(REPO, "SCALE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -140,3 +140,47 @@ def test_mogpr_fusion_differential_synthetic_sweep():
         for s in got:
             assert np.abs(got[s][0] - want[s][0]).max() < 1e-8
             assert np.abs(got[s][1] - want[s][1]).max() < 1e-8
+
+
+def test_state_space_twin_matches_dense():
+    """mogpr_fuse_series_ss (Kalman + RTS over the exact Matern-3/2 SDE)
+    must reproduce the dense-GP posterior — a THIRD independent algorithm
+    agreeing with the other two. Includes a 600-observation series (the
+    long-series regime where mogpr_fuse auto-switches to the O(n) path)."""
+    from fusets_spark.operators.fusion import (
+        mogpr_fuse_series,
+        mogpr_fuse_series_ss,
+    )
+
+    rng = np.random.default_rng(11)
+    # short mixed-signal case with NaNs across the hyperparameter envelope
+    t1 = np.sort(rng.uniform(0, 60, 30))
+    t2 = np.sort(rng.uniform(0, 60, 22))
+    y1 = np.sin(t1 / 8) * 30 + rng.normal(0, 2, 30)
+    y2 = np.cos(t2 / 10) * 18 + rng.normal(0, 2, 22)
+    y1[3] = np.nan
+    sigs = {"a": (t1, y1), "b": (t2, y2)}
+    out_t = np.arange(0.0, 60.0, 1.0)
+    for ls, nz, rho in [(3.0, 0.1, 0.7), (32.0, 0.05, 0.7),
+                        (8.0, 0.01, 0.0), (16.0, 0.2, 1.0)]:
+        dense = mogpr_fuse_series(sigs, out_t, ls, nz, rho)
+        ss = mogpr_fuse_series_ss(sigs, out_t, ls, nz, rho)
+        assert sorted(dense) == sorted(ss)
+        for s in dense:
+            assert np.abs(dense[s][0] - ss[s][0]).max() < 1e-8
+            assert np.abs(dense[s][1] - ss[s][1]).max() < 1e-8
+
+    # long series: 600 joint observations, 3 signals
+    tl = {s: np.sort(rng.uniform(0, 365, 200)) for s in ("a", "b", "c")}
+    yl = {
+        "a": np.sin(tl["a"] / 20) * 50 + rng.normal(0, 3, 200),
+        "b": np.cos(tl["b"] / 30) * 40 + rng.normal(0, 3, 200),
+        "c": tl["c"] * 0.1 + rng.normal(0, 3, 200),
+    }
+    sigs_l = {s: (tl[s], yl[s]) for s in tl}
+    out_l = np.arange(0.0, 365.0, 5.0)
+    dense = mogpr_fuse_series(sigs_l, out_l, 16.0, 0.05, 0.5)
+    ss = mogpr_fuse_series_ss(sigs_l, out_l, 16.0, 0.05, 0.5)
+    for s in dense:
+        assert np.abs(dense[s][0] - ss[s][0]).max() < 1e-7
+        assert np.abs(dense[s][1] - ss[s][1]).max() < 1e-7
