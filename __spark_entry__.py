@@ -791,6 +791,26 @@ def q_savgol_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stl_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL/LOESS trend (reference _phenolopy.py:1510-1593 stl_trend method;
+    single-cycle STL degenerates to its degree-1 tricube-LOESS trend
+    smoother — operators/smoothing.py:loess_trend). The DuckDB oracle
+    re-derives every point set-based: an n² within-series self-join builds
+    the tricube weights (q-th-smallest distance bandwidth incl. the
+    Cleveland span>data extension), then closed-form weighted linear fit
+    per point. Sum order differs from numpy's, so values agree to ~1e-12 —
+    rounded at 4dp on both sides."""
+    from fusets_spark.operators.smoothing import stl_trend_col
+
+    pts = _event_points(spark, sf_dir).select(
+        "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
+    )
+    out = stl_trend_col(pts)
+    return out.select(
+        "source", "doc_id", "ts", _rz(F.col("trend"), 4).alias("trend")
+    )
+
+
 def q_gaussian_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaussian smoothing (reference _phenolopy.py:773-779), reflect padding,
     truncate=4; DuckDB oracle folds the padding into literal edge weights
@@ -999,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_outliers_median": q_remove_outliers_median,
         "savgol_smooth": q_savgol_smooth,
         "gaussian_smooth": q_gaussian_smooth,
+        "stl_trend": q_stl_trend,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1938,6 +1959,70 @@ FROM g3 WINDOW w AS (PARTITION BY source, doc_id)
 """
 
 
+_STL_TREND_ORACLE = """
+WITH p AS (
+  SELECT event_type AS source, CAST(user_id AS VARCHAR) AS doc_id, ts,
+         value AS y,
+         CAST(row_number() OVER w - 1 AS DOUBLE) AS x,
+         count(*) OVER (PARTITION BY event_type, user_id) AS n
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, value)
+), win AS (
+  -- STL defaults: period = n (odd) or n+1; trend window = smallest odd
+  -- integer >= 1.5*period/(1 - 1.5/seasonal), seasonal=7
+  SELECT *, CASE WHEN w0 % 2 = 0 THEN w0 + 1 ELSE w0 END AS wnd
+  FROM (
+    SELECT *, CAST(ceil(1.5 * (CASE WHEN n % 2 = 1 THEN n ELSE n + 1 END)
+                        / (1.0 - 1.5/7.0)) AS BIGINT) AS w0
+    FROM p
+  )
+), pairs AS (
+  SELECT a.source, a.doc_id, a.ts, a.x AS xi, a.y AS yi, a.n, a.wnd,
+         b.x AS xj, b.y AS yj, abs(a.x - b.x) AS d
+  FROM win a JOIN win b USING (source, doc_id)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source, doc_id, xi
+                               ORDER BY d) AS r
+  FROM pairs
+), bw AS (
+  SELECT source, doc_id, xi,
+         max(CASE WHEN r = least(wnd, n) THEN
+               CASE WHEN wnd > n
+                    THEN d * (CAST(wnd AS DOUBLE) / CAST(n AS DOUBLE))
+                    ELSE d END
+             END) AS dq
+  FROM ranked GROUP BY 1, 2, 3
+), wgt AS (
+  SELECT k.source, k.doc_id, k.ts, k.xi, k.yi, k.n, k.xj, k.yj,
+         u*u*u AS w
+  FROM (
+    SELECT pr.*,
+           1.0 - t*t*t AS u
+    FROM (
+      SELECT pr0.*,
+             least(greatest(pr0.d / greatest(b.dq, 1e-12), 0.0), 1.0) AS t
+      FROM pairs pr0 JOIN bw b
+        ON b.source = pr0.source AND b.doc_id = pr0.doc_id
+       AND b.xi = pr0.xi
+    ) pr
+  ) k
+), fit AS (
+  SELECT source, doc_id, ts, xi, any_value(yi) AS yi, any_value(n) AS n,
+         sum(w) AS sw, sum(w*xj) AS sx, sum(w*yj) AS sy,
+         sum(w*xj*xj) AS sxx, sum(w*xj*yj) AS sxy
+  FROM wgt GROUP BY 1, 2, 3, 4
+)
+SELECT source, doc_id, ts,
+       round(CASE
+         WHEN n <= 2 THEN yi
+         WHEN (sw*sxx - sx*sx) <= 1e-12 * sw * sxx THEN sy/sw
+         ELSE (sy - ((sw*sxy - sx*sy)/(sw*sxx - sx*sx))*sx)/sw
+              + ((sw*sxy - sx*sy)/(sw*sxx - sx*sx))*xi
+       END, 4) + 0.0 AS trend
+FROM fit
+"""
+
+
 def _harmonic_fit_oracle() -> str:
     """Exact replay of harmonic_fit's fixed-order algorithm (see
     operators/harmonics.py): a recursive CTE accumulates the 4×4 Gram
@@ -2599,6 +2684,7 @@ FROM c FULL OUTER JOIN v ON c.doc_id = v.doc_id AND c.ts = v.ts
         "polygon_mask": _polygon_oracle(),
         "savgol_smooth": _savgol_oracle(),
         "gaussian_smooth": _gaussian_oracle(),
+        "stl_trend": _STL_TREND_ORACLE,
         "dedup_exact": """
 SELECT md5(text) AS digest,
        min(doc_id) AS keep_doc_id,
