@@ -221,6 +221,38 @@ def q_whittaker_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_block_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming Gorilla block builder (applyInPandasWithState —
+    the brief's custom-stateful-operator surface): event points flow
+    through a real readStream; each series' open buckets live in
+    Spark-managed group state; event-time timeouts seal blocks as the
+    watermark passes bucket ends (streaming/block_stream.py). The backlog
+    is drained deterministically with trailing sentinel batches, sealed
+    blocks are decoded back to points, and the oracle checks
+    stream-encode∘decode == identity against the plain events projection —
+    so the stateful path must reproduce the batch codec byte-for-byte
+    (byte-level equality with encode_blocks is additionally pinned in
+    tests/test_streaming.py)."""
+    import tempfile
+
+    from fusets_spark.codec.blocks import decode_blocks
+    from fusets_spark.streaming.block_stream import seal_all_with_sentinels
+
+    pts = _event_points(spark, sf_dir).select(
+        "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
+    )
+    work = tempfile.mkdtemp(prefix="fusets_stream_blocks_")
+    sealed = seal_all_with_sentinels(spark, pts, work, block_seconds=86400)
+    return decode_blocks(sealed).select(
+        "source",
+        "doc_id",
+        # memory-sink round trip ran under the pinned-UTC instant type;
+        # back to NTZ for hash parity with the DuckDB projection
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "value",
+    )
+
+
 def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla DoD+XOR block codec (north rule): encode the event stream into
     per-(series, 1-day-bucket) binary blocks, decode, and return restored
@@ -1020,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "savgol_smooth": q_savgol_smooth,
         "gaussian_smooth": q_gaussian_smooth,
         "stl_trend": q_stl_trend,
+        "stream_block_encode": q_stream_block_encode,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2685,6 +2718,13 @@ FROM c FULL OUTER JOIN v ON c.doc_id = v.doc_id AND c.ts = v.ts
         "savgol_smooth": _savgol_oracle(),
         "gaussian_smooth": _gaussian_oracle(),
         "stl_trend": _STL_TREND_ORACLE,
+        "stream_block_encode": """
+SELECT event_type AS source,
+       CAST(user_id AS VARCHAR) AS doc_id,
+       ts,
+       value
+FROM events
+""",
         "dedup_exact": """
 SELECT md5(text) AS digest,
        min(doc_id) AS keep_doc_id,

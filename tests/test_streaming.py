@@ -103,3 +103,31 @@ def test_stream_output_feeds_coarser_tiers(spark, tmp_path):
     got = got.sort_values(key).reset_index(drop=True)
     want = want.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stateful_stream_blocks_match_batch_encoder(spark, tmp_path):
+    """The applyInPandasWithState streaming block builder, drained with
+    the sentinel recipe, must produce byte-identical Gorilla blocks to the
+    batch encoder over the same points."""
+    from fusets_spark.codec.blocks import encode_blocks
+    from fusets_spark.datagen import generate_tokens
+    from fusets_spark.operators.explode import explode_raw
+    from fusets_spark.streaming.block_stream import seal_all_with_sentinels
+
+    toks = generate_tokens(spark, 40, seed=9, min_tok=32, max_tok=128)
+    pts = explode_raw(toks).select("source", "doc_id", "ts", "value")
+
+    got = seal_all_with_sentinels(
+        spark, pts, str(tmp_path / "drain"), block_seconds=60
+    ).toPandas()
+    want = encode_blocks(pts, block_seconds=60).toPandas()
+
+    def bag(pdf):
+        return sorted(
+            (r.source, r.doc_id, r.bucket_ts, r.min_ts, r.max_ts,
+             int(r.n_points), bytes(r.block))
+            for r in pdf.itertuples()
+        )
+
+    assert len(got) == len(want) and len(got) > 0
+    assert bag(got) == bag(want)
