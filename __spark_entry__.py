@@ -253,6 +253,51 @@ def q_stream_block_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source loader (reference sits_bridge.py:44-112 load_sits_csv):
+    the events table is written out as a WIDE csv at query time (one
+    column per event_type band, microsecond timestamps pre-formatted —
+    Spark's default CSV timestampFormat truncates to millis), then loaded
+    back through sources/loaders.load_points_csv (header + schema
+    inference, band auto-detection, wide→long melt, series-key doc_id).
+    The oracle reads the same rows straight from parquet, so the whole
+    write→infer→melt round trip must be value-exact."""
+    import tempfile
+
+    from fusets_spark.sources.loaders import load_points_csv
+
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("Index"),
+            "user_id",
+        )
+        .pivot("event_type")
+        .agg(F.first("value"))
+    )
+    path = tempfile.mkdtemp(prefix="fusets_csv_") + "/events_wide"
+    wide.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    out = load_points_csv(
+        spark, path, time_col="Index", series_cols=["user_id"]
+    )
+    return out.select(
+        "source", "doc_id", "ts", _rz(F.col("value"), 6).alias("value")
+    )
+
+
+def q_output_grid_p5d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 output date grid (reference _xarray_utils.py:43-46
+    _output_dates; the F6 71-date golden is in tests/test_timeaxis.py):
+    P5D spacing over the events month, generated JVM-side with
+    sequence() + explode."""
+    from fusets_spark.timeaxis import output_dates
+
+    _t(spark, sf_dir, "events")  # UTC pin + package ship side effects
+    return output_dates(
+        spark, "P5D", "2024-01-01 00:00:00", "2024-01-30 23:59:59"
+    )
+
+
 def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gorilla DoD+XOR block codec (north rule): encode the event stream into
     per-(series, 1-day-bucket) binary blocks, decode, and return restored
@@ -1053,6 +1098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaussian_smooth": q_gaussian_smooth,
         "stl_trend": q_stl_trend,
         "stream_block_encode": q_stream_block_encode,
+        "csv_load": q_csv_load,
+        "output_grid_p5d": q_output_grid_p5d,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2724,6 +2771,19 @@ SELECT event_type AS source,
        ts,
        value
 FROM events
+""",
+        "csv_load": """
+SELECT event_type AS source,
+       CAST(user_id AS VARCHAR) AS doc_id,
+       ts,
+       round(value, 6) + 0.0 AS value
+FROM events
+""",
+        "output_grid_p5d": """
+SELECT unnest(generate_series(
+  TIMESTAMP '2024-01-01 00:00:00',
+  TIMESTAMP '2024-01-30 23:59:59',
+  INTERVAL 432000 SECONDS)) AS ts
 """,
         "dedup_exact": """
 SELECT md5(text) AS digest,
