@@ -261,3 +261,31 @@ def test_peakvalley_oracle_equivalence_randomized():
         same = (o == want) | (np.isnan(o) & np.isnan(want))
         assert same.all(), f"series {s} ({kinds[s % len(kinds)]}): " \
             f"kernel={want.tolist()} oracle={o.tolist()}"
+
+
+def test_fixed_order_solver_matches_lstsq_property():
+    """Property: on well-conditioned harmonic designs the fixed-order
+    normal-equation solve (the oracle-replayable path) agrees with SVD
+    lstsq to float tolerance across random spans/sizes/scales."""
+    import numpy as np
+
+    from fusets_spark.operators.harmonics import (
+        design_matrix,
+        solve_normal_equations_fixed_order,
+    )
+
+    rng = np.random.default_rng(123)
+    for _ in range(25):
+        n = int(rng.integers(12, 400))
+        span = float(rng.uniform(400, 2000))
+        t = np.sort(rng.uniform(0, span, n))
+        k = int(rng.choice([4, 6, 8]))
+        scale = 10 ** rng.uniform(0, 4)
+        y = rng.normal(0, scale, n) + rng.uniform(-scale, scale)
+        X = design_matrix(t - t[0], k)
+        ls, *_ = np.linalg.lstsq(X, y, rcond=None)
+        G = (X.T @ X)[None]
+        b = (X.T @ y)[None]
+        ne = solve_normal_equations_fixed_order(G, b)[0]
+        denom = max(np.abs(ls).max(), 1.0)
+        assert np.abs(ls - ne).max() / denom < 1e-6
