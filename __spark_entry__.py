@@ -233,7 +233,7 @@ def q_stream_block_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the stateful path must reproduce the batch codec byte-for-byte
     (byte-level equality with encode_blocks is additionally pinned in
     tests/test_streaming.py)."""
-    import tempfile
+    import hashlib
 
     from fusets_spark.codec.blocks import decode_blocks
     from fusets_spark.streaming.block_stream import seal_all_with_sentinels
@@ -241,7 +241,10 @@ def q_stream_block_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _event_points(spark, sf_dir).select(
         "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
     )
-    work = tempfile.mkdtemp(prefix="fusets_stream_blocks_")
+    # fixed per-SF path (overwritten each run) — a fresh mkdtemp per call
+    # would accumulate full event-table copies in /tmp across rounds
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    work = f"/tmp/fusets_stream_blocks_{tag}"
     sealed = seal_all_with_sentinels(spark, pts, work, block_seconds=86400)
     return decode_blocks(sealed).select(
         "source",
@@ -262,7 +265,7 @@ def q_csv_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     inference, band auto-detection, wide→long melt, series-key doc_id).
     The oracle reads the same rows straight from parquet, so the whole
     write→infer→melt round trip must be value-exact."""
-    import tempfile
+    import hashlib
 
     from fusets_spark.sources.loaders import load_points_csv
 
@@ -275,7 +278,9 @@ def q_csv_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type")
         .agg(F.first("value"))
     )
-    path = tempfile.mkdtemp(prefix="fusets_csv_") + "/events_wide"
+    # fixed per-SF path (mode=overwrite) — no /tmp accumulation across runs
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/fusets_csv_{tag}/events_wide"
     wide.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
     out = load_points_csv(
         spark, path, time_col="Index", series_cols=["user_id"]
@@ -1526,7 +1531,8 @@ WITH b AS (
          count(*) OVER wp AS n,
 {lag_cols}
   FROM events
-  WINDOW wo AS (PARTITION BY event_type, user_id ORDER BY ts),
+  -- value tie-break mirrors the kernel's (doc_id, ts, value) sort
+  WINDOW wo AS (PARTITION BY event_type, user_id ORDER BY ts, value),
          wp AS (PARTITION BY event_type, user_id)
 )
 SELECT source, doc_id, ts,

@@ -172,6 +172,34 @@ def _timed_retry(fn, label: str, retries: int = 1):
             )
 
 
+def _tree_pids() -> list[int]:
+    """PIDs of this process and every live descendant — the ONE /proc
+    parser behind both the CPU metric here and the RSS sampler in
+    scale_bench.py (keep the comm-field rsplit(')',1) parse in one
+    place)."""
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                ppid[int(d)] = int(f.read().rsplit(")", 1)[1].split()[1])
+        except OSError:
+            continue
+
+    def in_tree(pid: int) -> bool:
+        seen = set()
+        while pid > 1 and pid in ppid and pid not in seen:
+            if pid == me:
+                return True
+            seen.add(pid)
+            pid = ppid[pid]
+        return pid == me
+
+    return [p for p in ppid if in_tree(p)]
+
+
 def _tree_cpu_sec() -> float | None:
     """Total CPU-seconds (utime+stime from /proc/<pid>/stat) of this
     process and every live descendant — the JVM plus its pyspark Python
@@ -181,32 +209,16 @@ def _tree_cpu_sec() -> float | None:
     CPU of workers that exit mid-window is lost; workers persist for the
     session here, so the delta is accurate."""
     try:
-        me = os.getpid()
         tck = os.sysconf("SC_CLK_TCK")
-        procs: dict[int, tuple[int, float]] = {}
-        for d in os.listdir("/proc"):
-            if not d.isdigit():
-                continue
+        total = 0.0
+        for p in _tree_pids():
             try:
-                with open(f"/proc/{d}/stat") as f:
+                with open(f"/proc/{p}/stat") as f:
                     rest = f.read().rsplit(")", 1)[1].split()
-                procs[int(d)] = (
-                    int(rest[1]),
-                    (int(rest[11]) + int(rest[12])) / tck,
-                )
+                total += (int(rest[11]) + int(rest[12])) / tck
             except OSError:
                 continue
-
-        def in_tree(pid: int) -> bool:
-            seen = set()
-            while pid > 1 and pid in procs and pid not in seen:
-                if pid == me:
-                    return True
-                seen.add(pid)
-                pid = procs[pid][0]
-            return pid == me
-
-        return sum(cpu for p, (_, cpu) in procs.items() if in_tree(p))
+        return total
     except Exception:
         return None
 

@@ -213,7 +213,10 @@ def ccdc_segments(
     NEXT segment (reference `break_day`), NULL for the final segment."""
 
     def _run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["doc_id", "ts"], kind="mergesort")
+        # value in the sort key: tied timestamps must order deterministically
+        # (and identically to the oracle's ORDER BY ts, value) — arrival
+        # order is shuffle-dependent
+        pdf = pdf.sort_values(["doc_id", "ts", "value"], kind="mergesort")
         rows = []
         for doc, g in pdf.groupby("doc_id", sort=False):
             day = (g["ts"].astype("int64") // 10**9).to_numpy() / 86400.0

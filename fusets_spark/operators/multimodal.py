@@ -161,8 +161,8 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     if bits != 8 or comp != 0:
         raise NotImplementedError(
             f"only 8-bit uncompressed BMP is decoded here (got bits={bits}, "
-            "compression={comp}); compressed formats need media libs absent "
-            "from this container"
+            f"compression={comp}); compressed formats need media libs "
+            "absent from this container"
         )
     hh = abs(h)
     stride = ((w * 8 + 31) // 32) * 4

@@ -156,7 +156,9 @@ def stl_trend_col(df: DataFrame, groups_per_source: int | None = None) -> DataFr
 
 def _per_series(df: DataFrame, fn, groups_per_source: int) -> DataFrame:
     def _run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["doc_id", "ts"], kind="mergesort")
+        # value tie-break: tied timestamps must order deterministically
+        # (matching the stl_trend oracle's ORDER BY ts, value)
+        pdf = pdf.sort_values(["doc_id", "ts", "value"], kind="mergesort")
         outs = []
         for doc, g in pdf.groupby("doc_id", sort=False):
             outs.append(

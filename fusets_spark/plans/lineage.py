@@ -149,6 +149,15 @@ class TierStore:
         Layout: batch=<id>/source=<s>/ — the source subpartition gives
         partition pruning on the hot filter dimension (the Iceberg analog
         is PARTITIONED BY (batch, source, hours(bucket_ts)))."""
+        # An uncommitted batch=<id> tree from a crashed earlier attempt may
+        # hold source= subpartitions the new df no longer produces — dynamic
+        # overwrite would leave them in place (and the read-back below would
+        # hash stale rows). The batch is uncommitted, so dropping the whole
+        # partition first is exactly the overwrite semantics we want.
+        import shutil
+
+        part = os.path.join(self.tier_path(tier), f"batch={batch_id}")
+        shutil.rmtree(part, ignore_errors=True)
         out = df.withColumn("batch", F.lit(batch_id))
         part_cols = ["batch"] + (["source"] if "source" in df.columns else [])
         (
@@ -160,11 +169,15 @@ class TierStore:
         # manifest stats come from the JUST-WRITTEN partition files, not a
         # second execution of the input plan — on the unfused path the input
         # is the full corpus scan and recomputing it doubles the batch cost.
-        # Casting back to the input schema normalizes partition-column
-        # inference so the hash is stable across runs.
-        part = os.path.join(self.tier_path(tier), f"batch={batch_id}")
+        # Partition-column type inference is disabled for the read-back (a
+        # numeric-looking source like '0123' must not round-trip as 123);
+        # casting to the input schema then restores exact dtypes.
+        spark = df.sparkSession
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+        )
         back = (
-            df.sparkSession.read.option("basePath", self.tier_path(tier))
+            spark.read.option("basePath", self.tier_path(tier))
             .parquet(part)
             .select(
                 *[F.col(f.name).cast(f.dataType) for f in df.schema.fields]

@@ -8,7 +8,7 @@ through the TierStore protocol (lineage manifest -> atomic watermark), so a
 kill at ANY point resumes to byte-identical content (tested).
 
 Deployment shape (cluster): `spark-submit --py-files fusets_spark.zip
--m fusets_spark.plans.pipeline <input> <store>` against Iceberg; batches =
+fusets_spark/plans/pipeline.py <input> <store>` against Iceberg; batches =
 Iceberg snapshot ranges. Here batches are parquet subdirectories.
 
 Ordering: batches are processed in sorted batch_id order for determinism,
@@ -240,10 +240,10 @@ class RollupPipeline:
 
 def main(argv: list[str] | None = None) -> None:
     """spark-submit entrypoint (the deployment shape in the module
-    docstring):
+    docstring; spark-submit takes a script path, not a module flag):
 
         spark-submit --py-files fusets_spark.zip \\
-            -m fusets_spark.plans.pipeline <input_root> <store_root> \\
+            fusets_spark/plans/pipeline.py <input_root> <store_root> \\
             [--t0 ...] [--block-seconds N] [--retention-now ISO]
 
     <input_root> holds one parquet subdirectory per batch (batch id =

@@ -205,7 +205,9 @@ def seal_all_with_sentinels(
         .parquet(pts_path)
     )
     out = stream_encode_blocks(stream, block_seconds=block_seconds)
-    name = f"stream_blocks_{abs(hash(work_dir)) % 10**8}"
+    import uuid
+
+    name = f"stream_blocks_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
         .queryName(name)

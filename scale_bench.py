@@ -38,31 +38,9 @@ LATE = f"/tmp/fusets_scale_late_{N_DOCS}"
 STORE = "/tmp/fusets_scale_store"
 
 
-def _tree_pids() -> list[int]:
-    me = os.getpid()
-    ppid = {}
-    for d in os.listdir("/proc"):
-        if not d.isdigit():
-            continue
-        try:
-            with open(f"/proc/{d}/stat") as f:
-                ppid[int(d)] = int(f.read().rsplit(")", 1)[1].split()[1])
-        except OSError:
-            continue
-
-    def in_tree(pid: int) -> bool:
-        seen = set()
-        while pid > 1 and pid in ppid and pid not in seen:
-            if pid == me:
-                return True
-            seen.add(pid)
-            pid = ppid[pid]
-        return pid == me
-
-    return [p for p in ppid if in_tree(p)]
-
-
 def _tree_rss_bytes() -> int:
+    from bench import _tree_pids  # the one shared /proc tree parser
+
     total = 0
     page = os.sysconf("SC_PAGE_SIZE")
     for p in _tree_pids():
