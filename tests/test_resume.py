@@ -329,3 +329,31 @@ def test_compact_blocks_deterministic_on_overlap(spark):
     assert a == b
     for _, _, bucket, lo, hi, _blk in a:
         assert bucket <= lo <= hi
+
+
+def test_pipeline_cli_main(spark, tmp_path):
+    """The spark-submit entrypoint: per-batch parquet subdirs in, tier
+    store out, committed-set resume (second invocation is a no-op), and
+    optional retention."""
+    from fusets_spark.datagen import generate_tokens
+    from fusets_spark.plans import pipeline
+    from fusets_spark.plans.lineage import TierStore
+
+    root = tmp_path / "batches"
+    for i in range(2):
+        generate_tokens(
+            spark, 20, seed=i, min_tok=32, max_tok=64
+        ).write.mode("overwrite").parquet(str(root / f"batch-{i}"))
+    store = str(tmp_path / "store")
+    pipeline.main([str(root), store,
+                   "--retention-now", "2024-03-01 00:00:00"])
+    st = TierStore(store)
+    for stage in pipeline.STAGES:
+        assert st.committed(stage) == {"batch-0", "batch-1"}
+    # blocks + 1m are past the default horizons at that `now`; lineage kept
+    for bid in ("batch-0", "batch-1"):
+        m = st.manifest("blocks", bid)
+        assert m is not None and m.expired
+    # resume: no-op (watermark set already covers everything)
+    pipeline.main([str(root), store])
+    assert st.committed("1h") == {"batch-0", "batch-1"}
