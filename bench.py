@@ -18,9 +18,11 @@ configuration's true cost under external interference. Each level also
 reports the JVM process CPU-seconds of its best run, so "wall moved but CPU
 didn't" (host contention) is verifiable from the artifact itself.
 
-JSON shape: {"metric": ..., "value": <total headline sec>, "unit": "sec",
-             "queries": {name: sec}, "plan": {name: {scans, exchanges}},
-             "sf": ..., plus rollup/scaling extras}.
+Output contract: the FINAL stdout line is a compact JSON summary (<1,500
+chars — the driver keeps only the last ~2,000 chars of stdout): metric,
+value (total headline sec), per-query walls, training-op walls, seq/sec at
+every level, and scaling efficiency. The full artifact (plan fingerprints,
+per-level samples, CPU-sec, scale proof) is written to BENCH_FULL.json.
 """
 
 from __future__ import annotations
@@ -365,15 +367,23 @@ def main() -> None:
         if name not in qs:
             continue
         # time build + execute: dedup_components iterates (actions) during
-        # query construction, so the timer must wrap the callable too
-        _, dt, _cpu = _timed_retry(
-            lambda: _noop_write(qs[name](spark, SF_DIR)), f"training {name}"
-        )
-        training[name] = round(dt, 3)
-        # dedup ops persist their shingle/signature tables (the materialized
-        # index at corpus scale); release them between ops so a long-lived
-        # shared session doesn't accumulate cached relations
-        spark.catalog.clearCache()
+        # query construction, so the timer must wrap the callable too.
+        # Best-of-2 like the headline set: these are single-shot walls on a
+        # phantom-load VM, and a single spike (r5: dedup_components 4.9 s
+        # vs 3.8 s isolated) misreports a query as regressed.
+        t_best = float("inf")
+        for _ in range(2):
+            _, dt, _cpu = _timed_retry(
+                lambda: _noop_write(qs[name](spark, SF_DIR)),
+                f"training {name}",
+            )
+            t_best = min(t_best, dt)
+            # dedup ops persist their shingle/signature tables (the
+            # materialized index at corpus scale); release them between
+            # runs so a long-lived shared session doesn't accumulate
+            # cached relations
+            spark.catalog.clearCache()
+        training[name] = round(t_best, 3)
     out["training_ops"] = training
     spark.stop()
 
@@ -389,7 +399,38 @@ def main() -> None:
         with open(scale_path) as f:
             out["scale_proof"] = json.load(f)
     out["elapsed_sec"] = round(time.monotonic() - T_BENCH0, 1)
-    print(json.dumps(out))
+
+    # Full artifact (plan fingerprints, per-level samples, scale proof) goes
+    # to a FILE; the driver keeps only the last ~2,000 chars of stdout, so
+    # the machine-readable final line must stay compact (round 4's line
+    # overflowed the tail and the driver recorded parsed=null).
+    full_path = os.path.join(REPO, "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": SF_DIR,
+        "queries": timings,
+        "training_ops": training,
+        "seq_per_sec_all_tiers": out["seq_per_sec_all_tiers"],
+        "scaling_pair": out["rollup"]["scaling_pair"],
+        "speedup": out["rollup"]["speedup"],
+        "scaling_efficiency": out["rollup"]["scaling_efficiency"],
+        "seq_per_sec_levels": {
+            lvl: d["seq_per_sec"] for lvl, d in out["rollup"]["levels"].items()
+        },
+        "retried": len(RETRIED_RUNS),
+        "elapsed_sec": out["elapsed_sec"],
+        "full_artifact": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    # self-check: the line must parse and fit the driver's tail window with
+    # margin, or this bench run is useless to the driver — fail loudly now
+    assert json.loads(line) == compact
+    assert len(line) < 1500, f"final bench line too long: {len(line)} chars"
+    print(line)
 
 
 if __name__ == "__main__":

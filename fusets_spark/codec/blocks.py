@@ -52,7 +52,13 @@ def encode_blocks(
     """
 
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["doc_id", "ts"], kind="mergesort")
+        # Canonical (doc_id, ts, value) order: with tied timestamps in one
+        # series+bucket, a (doc_id, ts)-only sort would leave tied rows in
+        # shuffle-arrival order and the block bytes would differ across
+        # parallelism — and from the stream _seal / compact_blocks paths,
+        # which already canonicalize ties. Same tie-break everywhere keeps
+        # the byte-identity contract a pure function of the point multiset.
+        pdf = pdf.sort_values(["doc_id", "ts", value_col], kind="mergesort")
         epoch_us = (pdf["ts"].astype("int64") // 10**3).to_numpy()
         vals = pdf[value_col].to_numpy(dtype=np.float64)
         docs = pdf["doc_id"].to_numpy()

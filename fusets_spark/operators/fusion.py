@@ -140,6 +140,12 @@ def mogpr_fuse_series_ss(
     exact arithmetic; tests/test_fusion_differential.py pins the two
     implementations to <1e-7 numerically. Normalization, master gating,
     and the returned (mean, std) contract match mogpr_fuse_series."""
+    # The q_idx readout maps grid results back to out_t POSITIONALLY, which
+    # is only correct when out_t is non-decreasing (the lexsort below is
+    # stable, so equal times keep input order).
+    out_t = np.asarray(out_t, dtype=np.float64)
+    if len(out_t) > 1 and np.any(np.diff(out_t) < 0):
+        raise ValueError("mogpr_fuse_series_ss requires sorted out_t")
     names = sorted(signals)
     master = master or names[0]
     clean: dict[str, tuple[np.ndarray, np.ndarray, float, float]] = {}
@@ -173,7 +179,11 @@ def mogpr_fuse_series_ss(
         [S_obs, np.full(len(out_t), -1)]
     )  # -1 = grid query
     yvals = np.concatenate([Y_obs, np.zeros(len(out_t))])
-    order = np.lexsort((kinds, events))  # time asc; queries after obs at ties
+    # time asc; at tied times, grid queries (kind=-1) sort BEFORE the
+    # observations at that time. Order within a tied-time block is
+    # irrelevant to the RTS-smoothed posterior (transitions across the
+    # block are identity), so queries still see the full smoothed state.
+    order = np.lexsort((kinds, events))
     events, kinds, yvals = events[order], kinds[order], yvals[order]
     n_steps = len(events)
 

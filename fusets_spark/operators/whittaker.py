@@ -325,8 +325,12 @@ def whittaker_gapfill(
             # plan construction): the alias now bounds n_groups directly.
             warnings.warn(
                 "groups_per_source is deprecated; use n_groups. The alias "
-                "is now treated as a direct total-group bound (it no "
-                "longer multiplies by the number of distinct sources).",
+                "is now treated as a direct TOTAL-group bound: it no longer "
+                "multiplies by the number of distinct sources, so on a "
+                "multi-source input the same value yields up to n_sources "
+                "times fewer tasks than before. Results are unaffected; "
+                "callers who relied on the per-source scaling should pass "
+                "n_groups = old_value * n_sources explicitly.",
                 DeprecationWarning,
                 stacklevel=2,
             )

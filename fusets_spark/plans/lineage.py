@@ -173,17 +173,31 @@ class TierStore:
         # numeric-looking source like '0123' must not round-trip as 123);
         # casting to the input schema then restores exact dtypes.
         spark = df.sparkSession
-        spark.conf.set(
-            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
-        )
-        back = (
-            spark.read.option("basePath", self.tier_path(tier))
-            .parquet(part)
-            .select(
-                *[F.col(f.name).cast(f.dataType) for f in df.schema.fields]
+        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        try:
+            prev_infer = spark.conf.get(infer_key)
+        except Exception:
+            prev_infer = None
+        spark.conf.set(infer_key, "false")
+        try:
+            back = (
+                spark.read.option("basePath", self.tier_path(tier))
+                .parquet(part)
+                .select(
+                    *[
+                        F.col(f.name).cast(f.dataType)
+                        for f in df.schema.fields
+                    ]
+                )
             )
-        )
-        n, h, lo, hi = _manifest_stats(back)
+            n, h, lo, hi = _manifest_stats(back)
+        finally:
+            # restore the session-wide flag — leaving it flipped changes how
+            # partition columns type-infer in every later unrelated read
+            if prev_infer is None:
+                spark.conf.unset(infer_key)
+            else:
+                spark.conf.set(infer_key, prev_infer)
         n_bytes = self._tree_bytes(part)
         m = Manifest(tier, batch_id, n, h, config_hash, n_bytes, lo, hi)
         self._write_manifest(m)

@@ -216,4 +216,12 @@ def seal_all_with_sentinels(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).filter(F.col("source") != sentinel_source)
+    # Materialize and drop the memory-sink table before returning: the sink
+    # holds the fully-built result in driver memory, and leaking one
+    # uuid-named table per call would accumulate across bench rounds /
+    # repeated driver runs in a long-lived session.
+    sealed = spark.table(name).filter(F.col("source") != sentinel_source)
+    schema = sealed.schema
+    rows = sealed.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)

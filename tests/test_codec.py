@@ -207,3 +207,70 @@ def test_lockstep_decoder_matches_sequential(spec):
             np.asarray(v_ref).view(np.int64),
             vals_all[off[i] : off[i + 1]].view(np.int64),
         )
+
+
+def test_encode_and_compact_bytes_invariant_to_parallelism(spark):
+    """Block bytes must be a pure function of the point MULTISET — invariant
+    to shuffle arrival order across partition counts, INCLUDING tied
+    timestamps within one (series, bucket) (the ADVICE r4 medium finding:
+    datagen never produces ties, so only an explicit tie fixture exercises
+    the canonical (doc_id, ts, value) sort in encode_blocks._encode).
+    Also pins multi-batch overlap compaction byte-equality across
+    partition counts (VERDICT r4 next-round #6)."""
+    from fusets_spark.codec.blocks import compact_blocks, encode_blocks
+
+    rng = np.random.default_rng(7)
+    n = 400
+    base = pd.Timestamp("2024-01-01").value // 1000  # µs
+    # ~50% tied timestamps: pairs of rows share (doc, ts) with differing
+    # values, so any arrival-order-dependent sort changes the bytes
+    ts_us = base + np.repeat(
+        rng.integers(0, 6 * 3600, size=n // 2), 2
+    ) * 10**6
+    pdf = pd.DataFrame(
+        {
+            "source": "s0",
+            "doc_id": np.char.add("d-", rng.integers(0, 5, n).astype(str)),
+            "ts": pd.to_datetime(ts_us * 1000),
+            "value": rng.normal(size=n).round(3),
+        }
+    )
+
+    def enc_bag(num_parts, groups):
+        df = spark.createDataFrame(pdf).repartition(num_parts)
+        out = encode_blocks(df, block_seconds=3600, groups_per_source=groups)
+        return sorted(
+            (r.source, r.doc_id, r.bucket_ts, bytes(r.block))
+            for r in out.toPandas().itertuples()
+        )
+
+    a = enc_bag(1, 2)
+    b = enc_bag(13, 7)
+    assert a == b
+
+    # overlap compaction: same multiset through two batch splits and two
+    # partition counts -> byte-identical coarse blocks
+    half = pdf.iloc[: n // 2], pdf.iloc[n // 2 :]
+
+    def comp_bag(frames, num_parts, groups):
+        blks = [
+            encode_blocks(
+                spark.createDataFrame(f).repartition(num_parts),
+                block_seconds=3600,
+                groups_per_source=groups,
+            )
+            for f in frames
+        ]
+        merged = blks[0]
+        for x in blks[1:]:
+            merged = merged.unionByName(x)
+        out = compact_blocks(merged, 86400, groups_per_source=groups)
+        return sorted(
+            (r.source, r.doc_id, r.bucket_ts, r.min_ts, r.max_ts,
+             bytes(r.block))
+            for r in out.toPandas().itertuples()
+        )
+
+    c = comp_bag(half, 1, 2)
+    d = comp_bag(half[::-1], 11, 5)
+    assert c == d

@@ -95,7 +95,15 @@ def test_mogpr_fusion_differential_on_driver_data(sf_dir):
     max_mu_diff = 0.0
     max_sd_diff = 0.0
     for user, g in ev.groupby("user_id"):
-        day = (g["ts"].astype("int64").to_numpy() // 10**9) / 86400.0
+        # parquet loads as datetime64[us] — normalize to ns before the
+        # //10**9 seconds conversion (the kernel receives ns from Arrow).
+        # Without this, `day` came out 1000x compressed and the daily grid
+        # collapsed to ~1 point per doc (latent r4 bug: the differential
+        # covered far fewer rows than claimed).
+        day = (
+            g["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
+            // 10**9
+        ) / 86400.0
         val = g["value"].to_numpy(np.float64)
         srcs = g["event_type"].to_numpy()
         sigs = {
@@ -115,8 +123,9 @@ def test_mogpr_fusion_differential_on_driver_data(sf_dir):
             max_sd_diff = max(max_sd_diff, float(np.abs(gs - ws).max()))
             n_rows += len(gm)
     # two independent factorizations agree far inside the driver's
-    # 6-decimal rounding on every row
-    assert n_rows > 50
+    # 5-decimal rounding on every row; full daily grid = users x ~30 days
+    # x signals (>2000 rows even at sf0.001)
+    assert n_rows > 2000
     assert max_mu_diff < 1e-8, max_mu_diff
     assert max_sd_diff < 1e-8, max_sd_diff
 

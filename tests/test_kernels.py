@@ -13,7 +13,12 @@ import pandas as pd
 
 from fusets_spark.datagen import fusion_fixture, harmonic_fixture
 from fusets_spark.operators.fusion import mogpr_fuse, mogpr_fuse_series
-from fusets_spark.operators.harmonics import fit_harmonics_series, harmonic_fit
+from fusets_spark.operators.harmonics import (
+    design_matrix,
+    fit_harmonics_series,
+    harmonic_fit,
+    harmonic_fitted,
+)
 from fusets_spark.operators.peakvalley import (
     find_peaks_1d,
     peakvalley,
@@ -97,6 +102,37 @@ def test_harmonic_fit_spark(spark):
         np.testing.assert_allclose(
             [row["c0"], row["c1"], row["c2"], row["c3"]], want, atol=3
         )
+
+
+def test_harmonic_fitted_spark_matches_numpy(spark):
+    """Per-point fitted values ŷ vs a direct numpy OLS replay — the pytest
+    home of the former `harmonic_fitted` driver row (demoted when the
+    registry was capped at 50; driver coverage of the same kernel continues
+    through `harmonic_fit`)."""
+    fx = harmonic_fixture()
+    frames = []
+    for k in range(3):
+        f = fx.copy()
+        f["doc_id"] = f"h-{k}"
+        f["source"] = "s2ndvi"
+        f["value"] = f["value"] * (1 + 0.1 * k)
+        frames.append(f)
+    pdf = pd.concat(frames, ignore_index=True)
+    sdf = spark.createDataFrame(pdf[["source", "doc_id", "ts", "value"]])
+    got = (
+        harmonic_fitted(sdf, 4, groups_per_source=2)
+        .toPandas()
+        .sort_values(["doc_id", "ts"])
+        .reset_index(drop=True)
+    )
+    day = fx["ts"].astype("int64").to_numpy() // 10**9 / 86400.0
+    X = design_matrix(day - day[0], 4)
+    for k in range(3):
+        y = fx["value"].to_numpy() * (1 + 0.1 * k)
+        coef, *_ = np.linalg.lstsq(X, y, rcond=None)
+        want = X @ coef
+        g = got[got["doc_id"] == f"h-{k}"]["yhat"].to_numpy()
+        np.testing.assert_allclose(g, want, rtol=1e-9, atol=1e-6)
 
 
 def test_fusion_reconstructs_clean_signal():
