@@ -45,16 +45,30 @@ RSS_ABORT_GIB = float(os.environ.get("SCALE_RSS_ABORT_GIB", "100"))
 
 
 def _tree_rss_bytes() -> int:
+    """Process-tree memory via PSS (proportional set size), not summed RSS:
+    the 33+ pyspark workers fork from one daemon and share JVM/numpy pages
+    copy-on-write, so summing statm RSS double-counts shared pages wildly
+    (observed: a '208 GiB' sum on a 125 GiB swapless box — physically
+    impossible). smaps_rollup's Pss divides each shared page across its
+    mappers, so the tree sum is the true physical footprint. Falls back to
+    statm RSS where smaps_rollup is unavailable."""
     from bench import _tree_pids  # the one shared /proc tree parser
 
     total = 0
     page = os.sysconf("SC_PAGE_SIZE")
     for p in _tree_pids():
         try:
-            with open(f"/proc/{p}/statm") as f:
-                total += int(f.read().split()[1]) * page
+            with open(f"/proc/{p}/smaps_rollup") as f:
+                for line in f:
+                    if line.startswith("Pss:"):
+                        total += int(line.split()[1]) * 1024
+                        break
         except OSError:
-            continue
+            try:
+                with open(f"/proc/{p}/statm") as f:
+                    total += int(f.read().split()[1]) * page
+            except OSError:
+                continue
     return total
 
 
@@ -188,7 +202,11 @@ def main() -> None:
                 c0, s0 = _tree_cpu_sec(), time.monotonic()
                 fn()
                 stages[name] = round(time.monotonic() - s0, 1)
-                stages[name + "_cpu"] = round(_tree_cpu_sec() - c0, 1)
+                # CPU of workers that exit mid-window is lost, so the
+                # delta can come out negative across a worker restart —
+                # record None rather than a nonsense number
+                dc = _tree_cpu_sec() - c0
+                stages[name + "_cpu"] = round(dc, 1) if dc >= 0 else None
 
             timed("commit_main", lambda: pipe.process_batch(toks, "b1"))
             timed("commit_late", lambda: pipe.process_batch(late, "b2"))
