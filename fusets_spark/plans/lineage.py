@@ -45,6 +45,12 @@ class Manifest:
     max_ts: str = ""
     expired: bool = False  # data partition dropped by retention policy
     superseded_by: str = ""  # compaction rewrote this batch into another
+    # Batches this batch REWRITES (compaction): recorded in the NEW batch's
+    # manifest so the supersede takes effect atomically with its commit —
+    # the moment the rewritten batch is committed, snapshot readers exclude
+    # the sources, even before their partitions are physically dropped
+    # (the Iceberg analog: one snapshot swaps data files in and out).
+    supersedes: list[str] | None = None
 
 
 def _manifest_stats(df: DataFrame) -> tuple[int, str, str, str]:
@@ -142,9 +148,17 @@ class TierStore:
 
     # --- batch commit
     def write_batch(
-        self, df: DataFrame, tier: str, batch_id: str, config_hash: str
+        self,
+        df: DataFrame,
+        tier: str,
+        batch_id: str,
+        config_hash: str,
+        supersedes: list[str] | None = None,
     ) -> Manifest:
         """Steps 1-3 of the protocol (caller advances the watermark).
+        `supersedes`: batch ids this batch rewrites (compaction) — recorded
+        in THIS batch's manifest so snapshot readers drop the sources
+        atomically with this batch's commit.
 
         Layout: batch=<id>/source=<s>/ — the source subpartition gives
         partition pruning on the hot filter dimension (the Iceberg analog
@@ -199,9 +213,43 @@ class TierStore:
             else:
                 spark.conf.set(infer_key, prev_infer)
         n_bytes = self._tree_bytes(part)
-        m = Manifest(tier, batch_id, n, h, config_hash, n_bytes, lo, hi)
+        m = Manifest(
+            tier, batch_id, n, h, config_hash, n_bytes, lo, hi,
+            supersedes=sorted(supersedes) if supersedes else None,
+        )
         self._write_manifest(m)
         return m
+
+    # --- snapshot-consistent read set
+    def live_batches(self, tier: str) -> set[str]:
+        """The batch ids a consistent reader should see RIGHT NOW:
+        committed, not expired by retention, and not superseded by a
+        committed compaction rewrite. Metadata-only (manifests + the
+        watermark set) — this is the Iceberg snapshot's file list.
+
+        Raw directory listings are NOT a consistent view: an uncommitted
+        batch=<id> tree from a crashed write is visible on disk, and a
+        crash between a compaction's commit and its source-partition drops
+        leaves BOTH the rewritten batch and its sources on disk. Both
+        anomalies are excluded here: uncommitted ids are absent from the
+        watermark set, and a committed rewrite's `supersedes` list retires
+        its sources atomically with its commit."""
+        committed = self.committed(tier)
+        mans = {m.batch_id: m for m in self.manifests(tier)}
+        dead: set[str] = set()
+        for b in committed:
+            m = mans.get(b)
+            if m is None:
+                continue
+            if m.supersedes:
+                dead |= set(m.supersedes)
+        for b, m in mans.items():
+            # legacy path: supersede recorded only on the source manifest
+            if m.superseded_by and m.superseded_by in committed:
+                dead.add(b)
+            if m.expired:
+                dead.add(b)
+        return {b for b in committed if b not in dead}
 
     def _write_manifest(self, m: Manifest) -> None:
         """Atomic manifest write (temp + rename, same discipline as

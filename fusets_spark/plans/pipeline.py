@@ -23,6 +23,7 @@ import hashlib
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..codec.blocks import encode_blocks_from_tokens
 from ..operators.rollup import TIERS, rollup_ladder_from_tokens
@@ -168,13 +169,38 @@ class RollupPipeline:
             self.process_batch(batches[batch_id], batch_id, fail_stage)
 
     def read_tier(
-        self, spark: SparkSession, stage: str, merged: bool = False
+        self,
+        spark: SparkSession,
+        stage: str,
+        merged: bool = False,
+        as_of_batches: set[str] | None = None,
     ) -> DataFrame:
-        """Read a tier. merged=True re-merges per-batch partial rows for
-        the same (series, bucket) — exact under late data because stored
-        rows carry first_pos/last_pos (see rollup.merge_tier_partials);
-        a no-op-by-value when batches never share a bucket."""
-        df = spark.read.parquet(self.store.tier_path(stage))
+        """SNAPSHOT-CONSISTENT tier read: only batch partitions in the
+        store's live set (committed, not retired by retention or a
+        committed compaction rewrite) are visible — a raw directory read
+        would see crashed uncommitted writes, and duplicated data in the
+        window between a compaction's commit and its source-partition
+        drops. The batch filter is on the partition column, so Spark
+        prunes at planning time (scale cost: zero data touched for dead
+        batches).
+
+        as_of_batches: explicit batch subset for time travel — read the
+        store as it stood when exactly these batches were live (ids must
+        be a subset of currently-readable partitions; retention-dropped
+        data is gone). Default: the current live set.
+
+        merged=True re-merges per-batch partial rows for the same
+        (series, bucket) — exact under late data because stored rows carry
+        first_pos/last_pos (see rollup.merge_tier_partials); a
+        no-op-by-value when batches never share a bucket."""
+        live = (
+            as_of_batches
+            if as_of_batches is not None
+            else self.store.live_batches(stage)
+        )
+        df = spark.read.parquet(self.store.tier_path(stage)).filter(
+            F.col("batch").isin(sorted(live))
+        )
         if merged and stage != "blocks":
             from ..operators.rollup import merge_tier_partials
 
@@ -211,9 +237,11 @@ class RollupPipeline:
              untouched so resume keeps skipping the old ids).
         A crash before the step-1 commit resumes by recomputing (overwrite-
         idempotent); after it, re-running skips straight to finishing the
-        drops (mark_superseded is idempotent)."""
-        from pyspark.sql import functions as F
-
+        drops (mark_superseded is idempotent). The new batch's manifest
+        carries `supersedes=batch_ids`, so snapshot readers
+        (read_tier/live_batches) retire the sources ATOMICALLY with the
+        step-1 commit — a crash inside the step-2 drop loop leaves both
+        data trees on disk but never a duplicated read."""
         from ..codec.blocks import compact_blocks
 
         if not self.store.is_committed("blocks", new_batch_id):
@@ -224,7 +252,8 @@ class RollupPipeline:
             )
             compacted = compact_blocks(src, target_seconds)
             self.store.write_batch(
-                compacted, "blocks", new_batch_id, self.cfg_hash
+                compacted, "blocks", new_batch_id, self.cfg_hash,
+                supersedes=batch_ids,
             )
             self.store.commit_watermark("blocks", new_batch_id)
         for bid in batch_ids:

@@ -4,6 +4,7 @@ row content per tier + blocks), per the north rule."""
 
 from __future__ import annotations
 
+import re
 import shutil
 
 import pandas as pd
@@ -73,7 +74,12 @@ def test_partition_pruning_on_source(spark, batches, tmp_path):
     pipe.run(spark, dict(list(batches.items())[:1]))
     df = pipe.read_tier(spark, "1m").filter("source = 's2ndvi'")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [isnotnull(source" in plan
+    # both the user's source filter AND the snapshot read's live-batch
+    # filter must reach PartitionFilters (scan-time pruning, no data read)
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m, plan
+    assert "isnotnull(source" in m.group(0)
+    assert "batch" in m.group(0)
     for m in pipe.store.manifests("1m"):
         assert m.n_bytes > 0
     shutil.rmtree(root)
@@ -357,3 +363,89 @@ def test_pipeline_cli_main(spark, tmp_path):
     # resume: no-op (watermark set already covers everything)
     pipeline.main([str(root), store])
     assert st.committed("1h") == {"batch-0", "batch-1"}
+
+def test_snapshot_read_consistency(spark, tmp_path):
+    """read_tier must be SNAPSHOT-CONSISTENT from lineage metadata alone:
+    (1) an uncommitted crashed batch partition on disk is invisible;
+    (2) in the crash window between a compaction rewrite's commit and its
+        source-partition drops, readers see the rewrite OR the sources —
+        never both (the supersedes list retires sources atomically with
+        the commit);
+    (3) as_of_batches time-travels to an earlier committed view."""
+    from fusets_spark.codec.blocks import decode_blocks
+    from fusets_spark.datagen import generate_tokens
+    from fusets_spark.plans.pipeline import RollupPipeline
+
+    pipe = RollupPipeline(str(tmp_path / "store"), block_seconds=60)
+    t1 = generate_tokens(spark, 20, seed=1, min_tok=32, max_tok=128)
+    t2 = generate_tokens(spark, 20, seed=2, min_tok=32, max_tok=128)
+    pipe.process_batch(t1, "b1")
+    pipe.process_batch(t2, "b2")
+
+    def bag(df):
+        return (
+            df.toPandas()
+            .sort_values(["source", "doc_id", "ts", "value"])
+            .reset_index(drop=True)
+        )
+
+    committed_view = bag(decode_blocks(pipe.read_tier(spark, "blocks")))
+
+    # (1) crashed write: partition lands on disk, no manifest/commit
+    t3 = generate_tokens(spark, 10, seed=3, min_tok=32, max_tok=128)
+    staged = pipe._stage_df(t3, "blocks")
+    from pyspark.sql import functions as F
+
+    staged.withColumn("batch", F.lit("crashed")).write.mode(
+        "append"
+    ).partitionBy("batch", "source").parquet(pipe.store.tier_path("blocks"))
+    on_disk = {
+        r.batch
+        for r in spark.read.parquet(pipe.store.tier_path("blocks"))
+        .select("batch").distinct().collect()
+    }
+    assert "crashed" in on_disk  # raw listing DOES see it...
+    after_crash = bag(decode_blocks(pipe.read_tier(spark, "blocks")))
+    pd.testing.assert_frame_equal(committed_view, after_crash)  # ...reader doesn't
+
+    # (2) compaction crash window: commit the rewrite but "crash" before
+    # the source drops (call write_batch + watermark directly)
+    src = (
+        spark.read.parquet(pipe.store.tier_path("blocks"))
+        .filter(F.col("batch").isin(["b1", "b2"]))
+        .drop("batch")
+    )
+    from fusets_spark.codec.blocks import compact_blocks
+
+    pipe.store.write_batch(
+        compact_blocks(src, 3600), "blocks", "compact-1", pipe.cfg_hash,
+        supersedes=["b1", "b2"],
+    )
+    pipe.store.commit_watermark("blocks", "compact-1")
+    # both source trees still on disk alongside the rewrite
+    on_disk = {
+        r.batch
+        for r in spark.read.parquet(pipe.store.tier_path("blocks"))
+        .select("batch").distinct().collect()
+    }
+    assert {"b1", "b2", "compact-1"} <= on_disk
+    assert pipe.store.live_batches("blocks") == {"compact-1"}
+    window_view = bag(decode_blocks(pipe.read_tier(spark, "blocks")))
+    pd.testing.assert_frame_equal(committed_view, window_view)  # no dupes
+
+    # (3) time travel: the pre-compaction view is still addressable
+    old_view = bag(
+        decode_blocks(
+            pipe.read_tier(spark, "blocks", as_of_batches={"b1", "b2"})
+        )
+    )
+    pd.testing.assert_frame_equal(committed_view, old_view)
+
+    # finishing the interrupted compaction converges disk to the live set
+    pipe.compact_block_batches(spark, ["b1", "b2"], "compact-1", 3600)
+    on_disk = {
+        r.batch
+        for r in spark.read.parquet(pipe.store.tier_path("blocks"))
+        .select("batch").distinct().collect()
+    }
+    assert on_disk == {"compact-1", "crashed"}  # crashed junk still inert
