@@ -216,12 +216,62 @@ class RollupPipeline:
             return merge_tier_partials(df)
         return df
 
+    def apply_compaction(
+        self,
+        spark: SparkSession,
+        now: str,
+        age_seconds: float = 7 * 86400.0,
+        target_seconds: int = 86400,
+    ) -> str | None:
+        """POLICY-driven rewrite compaction — retention's sibling: find
+        every live blocks batch whose newest data is at least `age_seconds`
+        old at `now` and rewrite them into one coarser `target_seconds`
+        batch (TimescaleDB's compress_chunk policy / Iceberg's
+        rewrite_data_files, scheduled instead of hand-picked).
+
+        Metadata-only selection: manifests carry each batch's max_ts, and
+        batches already produced by this policy are recognized by their
+        compaction config hash and skipped — re-running the policy on a
+        quiet store is a no-op, so it can run on every pipeline tick.
+        The new batch id is derived from the sorted source ids, making a
+        crashed run resume into the SAME rewrite (is_committed skips the
+        recompute; the drop loop finishes).
+
+        Returns the new batch id, or None if nothing qualified."""
+        from datetime import datetime, timedelta
+
+        compact_hash = _config_hash(
+            {**self.cfg, "compacted_to": target_seconds}
+        )
+        cutoff = datetime.fromisoformat(now) - timedelta(
+            seconds=float(age_seconds)
+        )
+        live = self.store.live_batches("blocks")
+        sources = sorted(
+            m.batch_id
+            for m in self.store.manifests("blocks")
+            if m.batch_id in live
+            and m.max_ts
+            and m.config_hash != compact_hash
+            and datetime.fromisoformat(m.max_ts) < cutoff
+        )
+        if not sources:
+            return None
+        new_id = "compact-" + hashlib.sha256(
+            ",".join(sources).encode()
+        ).hexdigest()[:12]
+        self.compact_block_batches(
+            spark, sources, new_id, target_seconds, config_hash=compact_hash
+        )
+        return new_id
+
     def compact_block_batches(
         self,
         spark: SparkSession,
         batch_ids: list[str],
         new_batch_id: str,
         target_seconds: int = 86400,
+        config_hash: str | None = None,
     ) -> None:
         """Rewrite aged fine-block batches into ONE coarser-bucket batch
         (the TimescaleDB/Iceberg rewrite-compaction step of the retention
@@ -252,7 +302,8 @@ class RollupPipeline:
             )
             compacted = compact_blocks(src, target_seconds)
             self.store.write_batch(
-                compacted, "blocks", new_batch_id, self.cfg_hash,
+                compacted, "blocks", new_batch_id,
+                config_hash or self.cfg_hash,
                 supersedes=batch_ids,
             )
             self.store.commit_watermark("blocks", new_batch_id)
@@ -273,7 +324,9 @@ def main(argv: list[str] | None = None) -> None:
 
         spark-submit --py-files fusets_spark.zip \\
             fusets_spark/plans/pipeline.py <input_root> <store_root> \\
-            [--t0 ...] [--block-seconds N] [--retention-now ISO]
+            [--t0 ...] [--block-seconds N] [--retention-now ISO] \\
+            [--compact-now ISO] [--compact-age-days D] \\
+            [--compact-target-seconds T]
 
     <input_root> holds one parquet subdirectory per batch (batch id =
     directory name; on Iceberg, snapshot ranges take this role). Committed
@@ -294,6 +347,13 @@ def main(argv: list[str] | None = None) -> None:
         default=None,
         help="apply the default retention policy as of this ISO timestamp",
     )
+    ap.add_argument(
+        "--compact-now",
+        default=None,
+        help="run policy-driven block compaction as of this ISO timestamp",
+    )
+    ap.add_argument("--compact-age-days", type=float, default=7.0)
+    ap.add_argument("--compact-target-seconds", type=int, default=86400)
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("fusets-rollup").getOrCreate()
@@ -307,9 +367,21 @@ def main(argv: list[str] | None = None) -> None:
         if os.path.isdir(os.path.join(args.input_root, name))
     }
     pipe.run(spark, batches)
+    # retention BEFORE compaction: a batch past the retention horizon is
+    # dropped outright, so the compaction pass never wastes a rewrite on
+    # doomed data (expired batches leave the live set and are not
+    # compaction candidates).
     if args.retention_now:
         dropped = pipe.apply_retention(args.retention_now)
         print(f"retention dropped: {dropped}")
+    if args.compact_now:
+        new_id = pipe.apply_compaction(
+            spark,
+            args.compact_now,
+            age_seconds=args.compact_age_days * 86400.0,
+            target_seconds=args.compact_target_seconds,
+        )
+        print(f"compaction: {new_id or 'nothing to compact'}")
 
 
 if __name__ == "__main__":

@@ -364,6 +364,19 @@ def test_pipeline_cli_main(spark, tmp_path):
     pipeline.main([str(root), store])
     assert st.committed("1h") == {"batch-0", "batch-1"}
 
+    # policy compaction via the CLI on a second store (retention would
+    # have dropped the aged blocks in the first one): both input batches
+    # age past 7 days and collapse into one live compacted batch
+    store2 = str(tmp_path / "store2")
+    pipeline.main([str(root), store2, "--compact-now", "2024-02-01 00:00:00"])
+    st2 = TierStore(store2)
+    live = st2.live_batches("blocks")
+    assert len(live) == 1 and next(iter(live)).startswith("compact-")
+    # second invocation: resume no-op AND compaction no-op (its own output
+    # is recognized and skipped)
+    pipeline.main([str(root), store2, "--compact-now", "2024-02-01 00:00:00"])
+    assert st2.live_batches("blocks") == live
+
 def test_snapshot_read_consistency(spark, tmp_path):
     """read_tier must be SNAPSHOT-CONSISTENT from lineage metadata alone:
     (1) an uncommitted crashed batch partition on disk is invisible;
@@ -449,3 +462,56 @@ def test_snapshot_read_consistency(spark, tmp_path):
         .select("batch").distinct().collect()
     }
     assert on_disk == {"compact-1", "crashed"}  # crashed junk still inert
+
+def test_policy_driven_compaction(spark, tmp_path):
+    """apply_compaction selects aged live block batches from manifests
+    alone, rewrites them into one deterministic coarse batch, skips its
+    own output on re-run (config-hash recognition => the policy is a
+    no-op on a quiet store), and leaves young batches untouched."""
+    from pyspark.sql import functions as F
+
+    from fusets_spark.codec.blocks import decode_blocks
+    from fusets_spark.plans.pipeline import RollupPipeline
+
+    pipe = RollupPipeline(str(tmp_path / "store"), block_seconds=60)
+    old1 = generate_tokens(spark, 15, seed=1, min_tok=32, max_tok=128)
+    old2 = generate_tokens(spark, 15, seed=2, min_tok=32, max_tok=128)
+    young = generate_tokens(spark, 10, seed=3, min_tok=32, max_tok=128).withColumn(
+        "tokens", F.col("tokens")
+    )
+    pipe.process_batch(old1, "b-old1")
+    pipe.process_batch(old2, "b-old2")
+
+    def bag(df):
+        return (
+            df.toPandas()
+            .sort_values(["source", "doc_id", "ts", "value"])
+            .reset_index(drop=True)
+        )
+
+    before = bag(decode_blocks(pipe.read_tier(spark, "blocks")))
+
+    # datagen data starts at t0=2024-01-01; 30 days later everything ages out
+    new_id = pipe.apply_compaction(
+        spark, "2024-02-01 00:00:00", age_seconds=7 * 86400.0,
+        target_seconds=3600,
+    )
+    assert new_id is not None and new_id.startswith("compact-")
+    assert pipe.store.live_batches("blocks") == {new_id}
+    after = bag(decode_blocks(pipe.read_tier(spark, "blocks")))
+    pd.testing.assert_frame_equal(before, after, check_dtype=False)
+
+    # re-running the policy is a no-op: the compacted batch is recognized
+    # by its compaction config hash and skipped
+    assert pipe.apply_compaction(
+        spark, "2024-02-01 00:00:00", age_seconds=7 * 86400.0,
+        target_seconds=3600,
+    ) is None
+
+    # a recent batch stays un-compacted under the age filter
+    pipe.process_batch(young, "b-young")
+    m = pipe.store.manifest("blocks", "b-young")
+    assert pipe.apply_compaction(
+        spark, m.max_ts, age_seconds=7 * 86400.0, target_seconds=3600
+    ) is None
+    assert "b-young" in pipe.store.live_batches("blocks")
