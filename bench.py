@@ -147,15 +147,73 @@ def _run_with_retry(fn, label: str, retries: int = 1):
 
 RETRIED_RUNS: list[str] = []
 
+# --- stall guard -----------------------------------------------------------
+# A silently-dead pyspark worker HANGS a local-mode action forever (observed
+# ~1/10 heavy runs; no exception, so the per-run retry never fires, and the
+# driver records parsed:null for the whole round). The guard watches runs in
+# flight and cancels the session's jobs when the run exceeds a window with
+# ~zero process-tree CPU burn — a legitimately slow stage burns CPU the
+# whole time, so the compound test (long AND idle) has no false positives.
+# Cancellation surfaces as an exception in the blocked action, which
+# _timed_retry treats like any transient failure and retries.
+_STALL = {
+    "spark": None,  # session owning the in-flight run (None = no run)
+    "t0": 0.0,
+    "window": float(os.environ.get("BENCH_STALL_WINDOW_SEC", "150")),
+}
+_STALL_CANCELS: list[str] = []
 
-def _timed_retry(fn, label: str, retries: int = 1):
+
+def _stall_guard_loop() -> None:
+    import threading  # noqa: F401 — daemon thread body
+
+    last_cpu, last_t = None, 0.0
+    while True:
+        time.sleep(10)
+        spark, t0 = _STALL["spark"], _STALL["t0"]
+        if spark is None:
+            last_cpu = None
+            continue
+        now = time.monotonic()
+        cpu = _tree_cpu_sec()
+        if last_cpu is None or cpu is None:
+            last_cpu, last_t = cpu, now
+            continue
+        if now - last_t < _STALL["window"]:
+            continue
+        burned = cpu - last_cpu
+        if now - t0 > _STALL["window"] and burned < 3.0:
+            _STALL_CANCELS.append(f"stall at +{now - t0:.0f}s")
+            print(
+                f"bench: stall detected ({burned:.1f} CPU-s in "
+                f"{now - last_t:.0f}s) — cancelling jobs",
+                file=sys.stderr,
+            )
+            try:
+                spark.sparkContext.cancelAllJobs()
+            except Exception:
+                pass
+        last_cpu, last_t = cpu, now
+
+
+def _start_stall_guard() -> None:
+    import threading
+
+    t = threading.Thread(target=_stall_guard_loop, daemon=True)
+    t.start()
+
+
+def _timed_retry(fn, label: str, retries: int = 1, spark=None):
     """Retry wrapper that times ONLY the successful attempt — the timer (and
     CPU-delta window) resets per attempt, so a transient failure + retry is
     never recorded as one inflated measurement. Retried labels are flagged
-    in the artifact (RETRIED_RUNS). Returns (result, wall_sec, cpu_sec)."""
+    in the artifact (RETRIED_RUNS). Returns (result, wall_sec, cpu_sec).
+    Pass `spark` to arm the stall guard for the run."""
     for attempt in range(retries + 1):
         cpu0 = _tree_cpu_sec()
         t0 = time.monotonic()
+        if spark is not None:
+            _STALL["spark"], _STALL["t0"] = spark, t0
         try:
             r = fn()
             dt = time.monotonic() - t0
@@ -172,6 +230,8 @@ def _timed_retry(fn, label: str, retries: int = 1):
                 f"bench: {label} failed ({type(e).__name__}), retrying",
                 file=sys.stderr,
             )
+        finally:
+            _STALL["spark"] = None
 
 
 def _tree_pids() -> list[int]:
@@ -249,6 +309,7 @@ def main() -> None:
     T_BENCH0 = time.monotonic()
     import __spark_entry__ as entry_mod
 
+    _start_stall_guard()
     out: dict = {"sf": SF_DIR, "unit": "sec"}
 
     # --- scaling evidence: same token job at N, 4N, and $CPUS cores --------
@@ -286,6 +347,7 @@ def main() -> None:
                 _, dt, cpu = _timed_retry(
                     lambda: _token_rollup_job(spark, corpus, N_DOCS),
                     f"scaling local[{cores}]",
+                    spark=spark,
                 )
                 samples[cores].append(round(dt, 3))
                 if dt < best[cores]:
@@ -375,7 +437,7 @@ def main() -> None:
         t_best = float("inf")
         for _ in range(2):  # best-of-2: headline sum must not ride one spike
             _, dt, _cpu = _timed_retry(
-                lambda: _noop_write(df), f"headline {name}"
+                lambda: _noop_write(df), f"headline {name}", spark=spark
             )
             t_best = min(t_best, dt)
         timings[name] = round(t_best, 3)
@@ -396,6 +458,7 @@ def main() -> None:
             _, dt, _cpu = _timed_retry(
                 lambda: _noop_write(qs[name](spark, SF_DIR)),
                 f"training {name}",
+                spark=spark,
             )
             t_best = min(t_best, dt)
             # dedup ops persist their shingle/signature tables (the
@@ -442,6 +505,7 @@ def main() -> None:
             lvl: d["seq_per_sec"] for lvl, d in out["rollup"]["levels"].items()
         },
         "retried": len(RETRIED_RUNS),
+        "stall_cancels": len(_STALL_CANCELS),
         "elapsed_sec": out["elapsed_sec"],
         "full_artifact": "BENCH_FULL.json",
     }
