@@ -116,3 +116,32 @@ def test_ivf_oracle_exact_off_contract_sf(spark, sf_dir):
     pd.testing.assert_frame_equal(
         got, want, check_dtype=False, check_exact=True
     )
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.1"])
+def test_mogpr_oracle_exact_off_contract_sf(spark, sf_dir):
+    """mogpr_fusion parity OFF the contract SF: the recursive-CTE
+    Gauss-Jordan oracle and the engine's Cholesky path agree bit-for-bit
+    (after the shared 5dp rounding) at every SF, not just the driver's
+    sf0.01 — the 5-day subset keeps joint n small at any corpus size
+    because per-user event density is SF-independent."""
+    mod = _entry_mod()
+    got = _canon(mod.queries()["mogpr_fusion"](spark, sf_dir).toPandas())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    want = _canon(con.execute(mod.oracle_sql()["mogpr_fusion"]).df())
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_exact=True
+    )
+    for c in ("value_fused", "value_std"):
+        assert (
+            got[c].to_numpy(np.float64).tobytes()
+            == want[c].to_numpy(np.float64).tobytes()
+        )
