@@ -212,3 +212,98 @@ def load_netcdf_dir(spark: SparkSession, path: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         _parse, schema=schema
     )
+
+
+def load_sits_geotiff(
+    spark: SparkSession,
+    path: str,
+    time_coords: list,
+    time_dimension: str = "time",
+) -> DataFrame:
+    """GeoTIFF stack -> long rows (reference sits_bridge.py:148-199: a
+    rioxarray DataArray (t, y, x) with assigned time coords; here the
+    raster pixels EXPLODE to rows, the long-format dual).
+
+    Two stacking modes, mirroring the reference's signature:
+      * file-per-date (default): the files under `path`, in sorted-path
+        order, pair with sorted `time_coords`;
+      * time_dimension='band': ONE multi-sample file whose bands pair
+        with `time_coords`.
+
+    Parsing runs ON EXECUTORS (binaryFile ships each granule's bytes; a
+    mapInPandas batch runs the dependency-free baseline-TIFF parser in
+    sources/geotiff.py), so ingest parallelism is granule-count bound.
+    Georeferenced rasters emit cell-center map coordinates from the
+    GeoTIFF tags; ungeoreferenced ones emit pixel indices. Nodata pixels
+    (GDAL tag 42113) become NULL values, as rioxarray masks them."""
+    import numpy as np
+    import pandas as pd
+
+    from .geotiff import read_tiff
+
+    files = spark.read.format("binaryFile").load(path)
+    paths = sorted(r["path"] for r in files.select("path").collect())
+    if not paths:
+        raise ValueError(f"no files under {path}")
+    times = [pd.Timestamp(t) for t in sorted(pd.to_datetime(time_coords))]
+    band_mode = time_dimension == "band"
+    if band_mode:
+        if len(paths) != 1:
+            raise ValueError(
+                "time_dimension='band' stacks the bands of ONE file; got "
+                f"{len(paths)} files"
+            )
+    elif len(paths) != len(times):
+        raise ValueError(
+            f"{len(paths)} files but {len(times)} time coords — the "
+            "file-per-date stack pairs them one-to-one"
+        )
+    path_to_ts = dict(zip(paths, times))
+
+    schema = (
+        "ts timestamp, y double, x double, value double, src_file string"
+    )
+
+    def _explode(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                page = read_tiff(bytes(row["content"]))[0]
+                arr = np.asarray(page.data, dtype=np.float64)
+                bands = (
+                    [arr[:, :, b] for b in range(arr.shape[2])]
+                    if arr.ndim == 3
+                    else [arr]
+                )
+                gt = page.geotransform()
+                rows_idx, cols_idx = np.meshgrid(
+                    np.arange(page.height), np.arange(page.width),
+                    indexing="ij",
+                )
+                if gt is not None:
+                    xs = gt[0] + (cols_idx + 0.5) * gt[1]
+                    ys = gt[3] + (rows_idx + 0.5) * gt[5]
+                else:
+                    xs = cols_idx.astype(np.float64)
+                    ys = rows_idx.astype(np.float64)
+                for b, band in enumerate(bands):
+                    vals = band.ravel()
+                    if page.nodata is not None:
+                        vals = np.where(
+                            vals == page.nodata, np.nan, vals
+                        )
+                    ts = (
+                        times[b] if band_mode else path_to_ts[row["path"]]
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "ts": ts,
+                            "y": ys.ravel(),
+                            "x": xs.ravel(),
+                            "value": vals,
+                            "src_file": row["path"],
+                        }
+                    )
+
+    return files.select("path", "content").mapInPandas(
+        _explode, schema=schema
+    )

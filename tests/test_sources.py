@@ -229,3 +229,153 @@ def test_load_netcdf_dir_distributed(spark, tmp_path):
     assert len(got) == 3 * 2 * 2
     assert got["src_file"].nunique() == 3
     assert sorted(got["ndvi"].unique()) == [0.0, 1.0, 2.0]
+
+
+# --- baseline GeoTIFF (dependency-free parser, sources/geotiff.py) ---------
+
+def _handcrafted_tiff_bytes():
+    """A minimal little-endian baseline TIFF built field-by-field from the
+    public TIFF 6.0 spec with raw struct.pack — independent of the
+    module's writer. 2x2 uint8 raster [[1,2],[3,4]], one strip at offset
+    8, IFD at offset 12."""
+    import struct
+
+    h = b"II" + struct.pack("<HI", 42, 12)
+    h += bytes([1, 2, 3, 4])  # pixel strip at offset 8
+
+    def entry(tag, ttype, count, value_bytes):
+        return struct.pack("<HHI", tag, ttype, count) + value_bytes
+
+    ifd = struct.pack("<H", 6)
+    ifd += entry(256, 4, 1, struct.pack("<I", 2))  # width
+    ifd += entry(257, 4, 1, struct.pack("<I", 2))  # height
+    ifd += entry(258, 3, 1, struct.pack("<HH", 8, 0))  # bits
+    ifd += entry(259, 3, 1, struct.pack("<HH", 1, 0))  # uncompressed
+    ifd += entry(273, 4, 1, struct.pack("<I", 8))  # strip offset
+    ifd += entry(279, 4, 1, struct.pack("<I", 4))  # strip bytes
+    ifd += struct.pack("<I", 0)  # no next IFD
+    return h + ifd
+
+
+def test_geotiff_reader_matches_spec_golden():
+    import numpy as np
+
+    from fusets_spark.sources.geotiff import read_tiff
+
+    pages = read_tiff(_handcrafted_tiff_bytes())
+    assert len(pages) == 1
+    p = pages[0]
+    assert (p.width, p.height) == (2, 2)
+    np.testing.assert_array_equal(np.asarray(p.data), [[1, 2], [3, 4]])
+    assert p.geotransform() is None and p.nodata is None
+
+
+def test_geotiff_roundtrip_variants():
+    import numpy as np
+
+    from fusets_spark.sources.geotiff import read_tiff, write_tiff
+
+    rng = np.random.default_rng(1)
+    for arr in (
+        (np.arange(12, dtype=np.float32) / 2).reshape(3, 4),
+        (np.arange(6, dtype=np.uint16) * 999).reshape(2, 3),
+        np.arange(-6, 6, dtype=np.int16).reshape(2, 3, 2),
+        rng.normal(size=(5, 7)),
+    ):
+        p = read_tiff(write_tiff(arr))[0]
+        np.testing.assert_array_equal(np.asarray(p.data), arr)
+    # georeferencing tags -> GDAL-convention geotransform + nodata
+    p = read_tiff(
+        write_tiff(
+            np.ones((2, 2), dtype=np.float32),
+            pixel_scale=(10.0, 10.0, 0.0),
+            tiepoint=(0, 0, 0, 500000.0, 4600000.0, 0.0),
+            nodata=-9999,
+        )
+    )[0]
+    assert p.geotransform() == (500000.0, 10.0, 0.0, 4600000.0, 0.0, -10.0)
+    assert p.nodata == -9999.0
+
+
+def test_geotiff_compressed_gated():
+    import struct
+
+    import pytest as _pytest
+
+    from fusets_spark.sources.geotiff import read_tiff
+
+    buf = bytearray(_handcrafted_tiff_bytes())
+    # flip the Compression entry (tag 259, 4th entry) to 5 (LZW)
+    off = 12 + 2 + 3 * 12 + 8
+    buf[off : off + 2] = struct.pack("<H", 5)
+    with _pytest.raises(NotImplementedError, match="compression"):
+        read_tiff(bytes(buf))
+
+
+def test_load_sits_geotiff_file_per_date(spark, tmp_path):
+    """The reference's GeoTIFF stack: sorted files pair with sorted time
+    coords; pixels explode to rows on executors with cell-center map
+    coordinates and nodata masked to NULL."""
+    import numpy as np
+
+    from fusets_spark.sources.geotiff import write_tiff
+    from fusets_spark.sources.loaders import load_sits_geotiff
+
+    for k in range(3):
+        arr = np.full((2, 3), float(k), dtype=np.float32)
+        arr[0, 0] = -9999.0  # nodata pixel
+        (tmp_path / f"date-{k}.tif").write_bytes(
+            write_tiff(
+                arr,
+                pixel_scale=(10.0, 10.0, 0.0),
+                tiepoint=(0, 0, 0, 100.0, 900.0, 0.0),
+                nodata=-9999,
+            )
+        )
+    times = ["2024-01-01", "2024-01-06", "2024-01-11"]
+    got = (
+        load_sits_geotiff(spark, str(tmp_path), times)
+        .toPandas()
+        .sort_values(["ts", "y", "x"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 3 * 6
+    assert sorted(got["ts"].unique()) == [
+        np.datetime64(t) for t in times
+    ]
+    # cell centers of a 10m grid anchored at (100, 900)
+    assert sorted(got["x"].unique()) == [105.0, 115.0, 125.0]
+    assert sorted(got["y"].unique()) == [885.0, 895.0]
+    # one masked pixel per date
+    assert int(got["value"].isna().sum()) == 3
+    d0 = got[(got["ts"] == np.datetime64("2024-01-06"))
+             & got["value"].notna()]
+    assert set(d0["value"]) == {1.0}
+
+
+def test_load_sits_geotiff_band_mode(spark, tmp_path):
+    """time_dimension='band': one multi-sample file, bands = dates."""
+    import numpy as np
+
+    from fusets_spark.sources.geotiff import write_tiff
+    from fusets_spark.sources.loaders import load_sits_geotiff
+
+    cube = np.stack(
+        [np.full((2, 2), 1.0), np.full((2, 2), 2.0)], axis=2
+    ).astype(np.float32)
+    (tmp_path / "stack.tif").write_bytes(write_tiff(cube))
+    got = (
+        load_sits_geotiff(
+            spark,
+            str(tmp_path / "stack.tif"),
+            ["2024-03-01", "2024-03-02"],
+            time_dimension="band",
+        )
+        .toPandas()
+    )
+    assert len(got) == 8
+    by_ts = got.groupby("ts")["value"].unique().to_dict()
+    assert {pd.Timestamp(k): list(v) for k, v in by_ts.items()} == {
+        pd.Timestamp("2024-03-01"): [1.0],
+        pd.Timestamp("2024-03-02"): [2.0],
+    }
