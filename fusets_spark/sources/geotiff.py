@@ -60,13 +60,18 @@ class TiffPage:
 
 
 def _read_tag_values(buf, bo, ttype, count, value_field):
-    size = _TYPE_SIZES[ttype] * count
+    size = _TYPE_SIZES.get(ttype, 1) * count
     raw = value_field[:size] if size <= 4 else None
     if raw is None:
         (off,) = struct.unpack(bo + "I", value_field)
         raw = buf[off : off + size]
     if ttype == 2:  # ASCII, NUL-terminated
         return raw.split(b"\x00")[0].decode("ascii", "replace")
+    if ttype not in _TYPE_FMT and ttype not in (5, 10):
+        # UNDEFINED(7) and any exotic type: keep the raw bytes — real
+        # files carry e.g. ICC profiles (34675, type 7) that must not
+        # crash the tag walk
+        return raw
     if ttype in (5, 10):  # RATIONAL: pairs of (u32|i32)
         f = "I" if ttype == 5 else "i"
         vals = struct.unpack(bo + f * (2 * count), raw)
@@ -91,7 +96,11 @@ def read_tiff(buf: bytes) -> list[TiffPage]:
         )
     (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
     pages: list[TiffPage] = []
+    seen_offsets: set[int] = set()
     while ifd_off:
+        if ifd_off in seen_offsets:
+            raise ValueError("circular IFD chain (corrupt TIFF)")
+        seen_offsets.add(ifd_off)
         (n_tags,) = struct.unpack_from(bo + "H", buf, ifd_off)
         tags: dict = {}
         for i in range(n_tags):

@@ -377,6 +377,9 @@ def decode_cf_time(vals: np.ndarray, units: str):
         "hours": 3_600_000_000, "days": 86_400_000_000,
     }[unit.strip()]
     base = pd.Timestamp(origin.strip()).value // 1000  # µs
-    return (base + np.asarray(vals, dtype=np.int64) * step).astype(
-        "datetime64[us]"
+    # CF values are frequently FLOAT (e.g. days 0.5) — scale to µs before
+    # the integer cast so fractional steps round instead of truncating
+    offs = np.round(np.asarray(vals, dtype=np.float64) * step).astype(
+        np.int64
     )
+    return (base + offs).astype("datetime64[us]")

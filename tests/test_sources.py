@@ -379,3 +379,37 @@ def test_load_sits_geotiff_band_mode(spark, tmp_path):
         pd.Timestamp("2024-03-01"): [1.0],
         pd.Timestamp("2024-03-02"): [2.0],
     }
+
+
+def test_cf_time_fractional_and_tiff_robustness():
+    """CF float time values (days 0.5) must round to µs, not truncate;
+    unknown/UNDEFINED TIFF tag types come back as raw bytes instead of
+    crashing the tag walk; a circular IFD chain raises instead of
+    spinning."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from fusets_spark.sources.geotiff import read_tiff
+    from fusets_spark.sources.netcdf3 import decode_cf_time
+
+    got = decode_cf_time(np.array([0.0, 0.5, 1.25]),
+                         "days since 2024-01-01")
+    assert list(got.astype("datetime64[h]").astype(str)) == [
+        "2024-01-01T00", "2024-01-01T12", "2024-01-02T06",
+    ]
+
+    # append an UNDEFINED(7) tag to the golden: entry count 6 -> 7
+    base = bytearray(_handcrafted_tiff_bytes())
+    base[12:14] = struct.pack("<H", 7)
+    extra = struct.pack("<HHI", 34675, 7, 3) + b"abc\x00"
+    buf = bytes(base[:-4]) + extra + struct.pack("<I", 0)
+    p = read_tiff(buf)[0]
+    assert p.tags[34675] == b"abc"
+
+    # next-IFD pointer looping back to itself
+    circ = bytearray(_handcrafted_tiff_bytes())
+    circ[-4:] = struct.pack("<I", 12)
+    with _pytest.raises(ValueError, match="circular"):
+        read_tiff(bytes(circ))
