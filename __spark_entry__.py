@@ -315,6 +315,73 @@ def q_csv_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_netcdf_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """netCDF source loader (reference sits_bridge.py:115-145
+    load_sits_netcdf) through the DISTRIBUTED directory path: the events
+    table is aggregated to a per-(event_type, user, day) daily-mean cube,
+    written at query time as one classic-format granule per event_type
+    with the dependency-free writer (sources/netcdf3.py — CF time units,
+    NaN gaps), then loaded back via sources/loaders.load_netcdf_dir
+    (binaryFile → executor-side pure-numpy parse → long melt). The
+    oracle computes the same daily means straight from parquet, so the
+    whole write→parse→melt round trip must be value-exact."""
+    import hashlib
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from fusets_spark.sources.loaders import load_netcdf_dir
+    from fusets_spark.sources.netcdf3 import NcVar, write_netcdf3
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", "user_id", F.to_date("ts").alias("day")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+        .toPandas()  # bounded: users x days x event_types aggregate
+    )
+    users = np.sort(daily["user_id"].unique())
+    days = pd.date_range(daily["day"].min(), daily["day"].max(), freq="D")
+    di = {d.date(): i for i, d in enumerate(days)}
+    ui = {u: i for i, u in enumerate(users)}
+    # fixed per-SF dir (overwritten each run) — no /tmp accumulation
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/fusets_nc_{tag}"
+    os.makedirs(root, exist_ok=True)
+    for et, g in daily.groupby("event_type"):
+        cube = np.full((len(days), len(users)), np.nan)
+        cube[
+            [di[d] for d in g["day"]], [ui[u] for u in g["user_id"]]
+        ] = g["v"].to_numpy()
+        buf = write_netcdf3(
+            {"time": None, "series": len(users)},
+            [
+                NcVar(
+                    "time", ("time",),
+                    np.arange(len(days), dtype=">i4"),
+                    {"units": f"days since {days[0].date()}"},
+                ),
+                NcVar("series", ("series",), users.astype(">i4")),
+                NcVar("value", ("time", "series"), cube.astype(">f8")),
+            ],
+        )
+        with open(os.path.join(root, f"{et}.nc"), "wb") as f:
+            f.write(buf)
+    out = load_netcdf_dir(spark, root)
+    # cube gaps are NaN in the parsed frame; Arrow surfaces them as NULL
+    # at the mapInPandas boundary — filter both representations
+    return out.filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).select(
+        F.regexp_extract("src_file", r"([^/]+)\.nc$", 1).alias("source"),
+        F.col("series").cast("string").alias("doc_id"),
+        F.col("time").cast("timestamp_ntz").alias("ts"),
+        _rz(F.col("value"), 6).alias("value"),
+    )
+
+
 def q_output_grid_p5d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO-8601 output date grid (reference _xarray_utils.py:43-46
     _output_dates; the F6 71-date golden is in tests/test_timeaxis.py):
@@ -1188,11 +1255,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "media_binary_meta": q_media_binary_meta,
-        "multimodal_decode": q_multimodal_decode,
         "multimodal_decode_pixels": q_multimodal_decode_pixels,
         "media_resize": q_media_resize,
-        # --- source layer ---------------------------------------------------
+        # --- source layer (multimodal_decode's header checks moved to
+        # pytest in round 5 to free this slot for the netCDF loader) ------
         "csv_load": q_csv_load,
+        "netcdf_load": q_netcdf_load,
     }
     assert len(q) == 50, f"driver registry must hold exactly 50, got {len(q)}"
     return q
@@ -2981,7 +3049,13 @@ FROM documents GROUP BY 1
         "lang_id": _LANGID_ORACLE,
         "token_counts": _TOKEN_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,
-        "multimodal_decode": _multimodal_oracle(),
+        "netcdf_load": """
+SELECT event_type AS source, CAST(user_id AS VARCHAR) AS doc_id,
+       CAST(CAST(ts AS DATE) AS TIMESTAMP) AS ts,
+       round(avg(value), 6) + 0.0 AS value
+FROM events
+GROUP BY 1, 2, 3
+""",
         "multimodal_decode_pixels": """
 SELECT CAST(d.doc_id AS VARCHAR) AS media_id, g.y, g.x,
        ord(substr(repeat(md5(d.text), 8), g.y * 10 + g.x + 1, 1)) AS px

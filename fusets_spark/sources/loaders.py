@@ -124,11 +124,18 @@ def _classic_to_frame(parsed: dict):
 
     from .netcdf3 import decode_cf_time
 
+    def native(a: "np.ndarray") -> "np.ndarray":
+        # classic netCDF data is big-endian; Arrow (the pandas<->Spark
+        # bridge) rejects byte-swapped arrays, so normalize on the way out
+        if a.dtype.byteorder == ">":
+            return a.byteswap().view(a.dtype.newbyteorder("="))
+        return a
+
     coords: dict = {}
     data_vars: dict = {}
     for name, v in parsed["vars"].items():
         if len(v.dims) == 1 and v.dims[0] == name:
-            vals = np.asarray(v.data)
+            vals = native(np.asarray(v.data))
             units = v.attrs.get("units", "")
             if isinstance(units, str) and " since " in units:
                 vals = decode_cf_time(vals, units)
@@ -156,7 +163,7 @@ def _classic_to_frame(parsed: dict):
     mesh = np.meshgrid(*axes, indexing="ij")
     frame = {dn: m.ravel() for dn, m in zip(dims, mesh)}
     for name, v in data_vars.items():
-        frame[name] = np.asarray(v.data).ravel()
+        frame[name] = native(np.asarray(v.data)).ravel()
     return pd.DataFrame(frame)
 
 
