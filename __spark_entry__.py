@@ -327,6 +327,7 @@ def q_netcdf_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole write→parse→melt round trip must be value-exact."""
     import hashlib
     import os
+    import shutil
 
     import numpy as np
     import pandas as pd
@@ -346,10 +347,16 @@ def q_netcdf_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = pd.date_range(daily["day"].min(), daily["day"].max(), freq="D")
     di = {d.date(): i for i, d in enumerate(days)}
     ui = {u: i for i, u in enumerate(users)}
-    # fixed per-SF dir (overwritten each run) — no /tmp accumulation
+    # fixed per-SF dir, fully CLEARED each run: per-event_type granules
+    # mean a stale .nc from a prior run (data regenerated with a
+    # different event_type set at the same path) would be ingested by
+    # load_netcdf_dir and corrupt the row. Local-mode assumption:
+    # executors share the driver's /tmp (true on local[n], which is
+    # where driver rows run; a cluster would use a shared store).
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     root = f"/tmp/fusets_nc_{tag}"
-    os.makedirs(root, exist_ok=True)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
     for et, g in daily.groupby("event_type"):
         cube = np.full((len(days), len(users)), np.nan)
         cube[
@@ -1513,11 +1520,24 @@ WITH w AS (
   UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
   UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
   UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+), bstat AS (
+  SELECT band_no, bkey, count(*) AS bsz, min(doc_id) AS bmin
+  FROM bands GROUP BY 1, 2
+), allp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bstat s ON s.band_no = a.band_no AND s.bkey = a.bkey
+              AND s.bsz <= 64
+  JOIN bands b ON a.bkey = b.bkey AND a.band_no = b.band_no
+              AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT s.bmin AS doc_a, a.doc_id AS doc_b
+  FROM bands a
+  JOIN bstat s ON s.band_no = a.band_no AND s.bkey = a.bkey
+              AND s.bsz > 64
+  WHERE a.doc_id <> s.bmin
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a
-JOIN bands b ON a.bkey = b.bkey AND a.band_no = b.band_no
-            AND a.doc_id < b.doc_id
+SELECT DISTINCT doc_a, doc_b FROM allp
 """
 
 def _components_oracle() -> str:

@@ -41,6 +41,29 @@ DEFAULT_RETENTION: dict[str, float | None] = {
 }
 
 
+def _read_tier_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read a tier's partitioned parquet with partition-column type
+    inference OFF (save/restore, mirroring write_batch): a numeric-
+    looking batch id like '0123' would otherwise infer as int and the
+    string isin() batch filters would silently drop every row. Keeping
+    `batch` a string also keeps those filters plan-time partition-pruning
+    predicates. Inference happens eagerly at read() time, so restoring
+    the conf afterwards is safe."""
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    try:
+        prev_infer = spark.conf.get(infer_key)
+    except Exception:
+        prev_infer = None
+    spark.conf.set(infer_key, "false")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        if prev_infer is None:
+            spark.conf.unset(infer_key)
+        else:
+            spark.conf.set(infer_key, prev_infer)
+
+
 def _config_hash(cfg: dict) -> str:
     return hashlib.sha256(
         json.dumps(cfg, sort_keys=True).encode()
@@ -198,7 +221,7 @@ class RollupPipeline:
             if as_of_batches is not None
             else self.store.live_batches(stage)
         )
-        df = spark.read.parquet(self.store.tier_path(stage)).filter(
+        df = _read_tier_parquet(spark, self.store.tier_path(stage)).filter(
             F.col("batch").isin(sorted(live))
         )
         if merged and stage != "blocks":
@@ -296,7 +319,7 @@ class RollupPipeline:
 
         if not self.store.is_committed("blocks", new_batch_id):
             src = (
-                spark.read.parquet(self.store.tier_path("blocks"))
+                _read_tier_parquet(spark, self.store.tier_path("blocks"))
                 .filter(F.col("batch").isin(batch_ids))
                 .drop("batch")
             )

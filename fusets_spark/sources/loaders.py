@@ -232,10 +232,16 @@ def load_sits_geotiff(
     raster pixels EXPLODE to rows, the long-format dual).
 
     Two stacking modes, mirroring the reference's signature:
-      * file-per-date (default): the files under `path`, in sorted-path
-        order, pair with sorted `time_coords`;
+      * file-per-date (default): the files under `path`, in NATURAL
+        (numeric-aware) path order, pair POSITIONALLY with `time_coords`
+        in the caller-given order — the reference's assign_coords
+        semantics. Natural order keeps date-2.tif before date-10.tif,
+        where a plain lexicographic sort would silently mispair.
       * time_dimension='band': ONE multi-sample file whose bands pair
-        with `time_coords`.
+        with `time_coords`; the band count is validated against
+        len(time_coords) up front on the driver (a mismatch would
+        otherwise surface as an opaque executor-side IndexError or a
+        silent drop of trailing coords).
 
     Parsing runs ON EXECUTORS (binaryFile ships each granule's bytes; a
     mapInPandas batch runs the dependency-free baseline-TIFF parser in
@@ -243,22 +249,48 @@ def load_sits_geotiff(
     Georeferenced rasters emit cell-center map coordinates from the
     GeoTIFF tags; ungeoreferenced ones emit pixel indices. Nodata pixels
     (GDAL tag 42113) become NULL values, as rioxarray masks them."""
+    import re
+
     import numpy as np
     import pandas as pd
 
     from .geotiff import read_tiff
 
+    def _natural_key(p: str):
+        return [
+            int(tok) if tok.isdigit() else tok
+            for tok in re.split(r"(\d+)", p)
+        ]
+
     files = spark.read.format("binaryFile").load(path)
-    paths = sorted(r["path"] for r in files.select("path").collect())
+    paths = sorted(
+        (r["path"] for r in files.select("path").collect()),
+        key=_natural_key,
+    )
     if not paths:
         raise ValueError(f"no files under {path}")
-    times = [pd.Timestamp(t) for t in sorted(pd.to_datetime(time_coords))]
+    # positional pairing in the CALLER-GIVEN coord order (reference
+    # assign_coords semantics) — do not re-sort the time axis
+    times = [pd.Timestamp(t) for t in pd.to_datetime(time_coords)]
     band_mode = time_dimension == "band"
     if band_mode:
         if len(paths) != 1:
             raise ValueError(
                 "time_dimension='band' stacks the bands of ONE file; got "
                 f"{len(paths)} files"
+            )
+        # driver-side probe: band count must match the time axis exactly
+        probe_bytes = bytes(
+            files.select("content").head()["content"]
+        )
+        probe = read_tiff(probe_bytes)[0]
+        n_bands = (
+            probe.data.shape[2] if probe.data.ndim == 3 else 1
+        )
+        if n_bands != len(times):
+            raise ValueError(
+                f"file has {n_bands} bands but {len(times)} time coords "
+                "— time_dimension='band' pairs them one-to-one"
             )
     elif len(paths) != len(times):
         raise ValueError(
@@ -275,7 +307,15 @@ def load_sits_geotiff(
         for pdf in batches:
             for _, row in pdf.iterrows():
                 page = read_tiff(bytes(row["content"]))[0]
-                arr = np.asarray(page.data, dtype=np.float64)
+                native = np.asarray(page.data)
+                # nodata must be compared in the raster's NATIVE dtype:
+                # float64(float32(-9999.9)) != float('-9999.9'), so a
+                # post-cast compare silently passes fractional-nodata
+                # pixels through as valid (rioxarray masks pre-cast too)
+                arr = native.astype(np.float64)
+                if page.nodata is not None:
+                    nd = np.asarray(page.nodata).astype(native.dtype)
+                    arr[native == nd] = np.nan
                 bands = (
                     [arr[:, :, b] for b in range(arr.shape[2])]
                     if arr.ndim == 3
@@ -294,10 +334,6 @@ def load_sits_geotiff(
                     ys = rows_idx.astype(np.float64)
                 for b, band in enumerate(bands):
                     vals = band.ravel()
-                    if page.nodata is not None:
-                        vals = np.where(
-                            vals == page.nodata, np.nan, vals
-                        )
                     ts = (
                         times[b] if band_mode else path_to_ts[row["path"]]
                     )

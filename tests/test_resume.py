@@ -126,6 +126,23 @@ def test_resume_with_non_padded_batch_ids(spark, tmp_path):
     shutil.rmtree(root)
 
 
+def test_read_tier_numeric_looking_batch_id(spark, tmp_path):
+    """A numeric-looking batch id like '0123' must survive read_tier:
+    partition-column type inference would coerce it to int 123 and the
+    string isin() filter would silently drop every row (write_batch
+    already disables inference; the read path must too)."""
+    root = str(tmp_path / "numeric")
+    toks = generate_tokens(spark, 20, seed=3, min_tok=32, max_tok=64)
+    pipe = RollupPipeline(root)
+    pipe.run(spark, {"0123": toks})
+    got = pipe.read_tier(spark, "1m")
+    assert got.count() > 0
+    assert dict(got.dtypes)["batch"] == "string"
+    assert {r["batch"] for r in got.select("batch").distinct().collect()} \
+        == {"0123"}
+    shutil.rmtree(root)
+
+
 def test_retention_drops_old_batches_keeps_lineage(spark, tmp_path):
     """Retention drops partitions whose newest bucket_ts is past the tier
     horizon, flags their manifests expired (lineage preserved), leaves

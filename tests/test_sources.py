@@ -353,6 +353,68 @@ def test_load_sits_geotiff_file_per_date(spark, tmp_path):
     assert set(d0["value"]) == {1.0}
 
 
+def test_load_sits_geotiff_fractional_nodata_f32(spark, tmp_path):
+    """Fractional nodata in a float32 raster must mask: the compare runs
+    in the NATIVE dtype (float64(float32(-9999.9)) != -9999.9, so a
+    post-cast compare would silently pass the pixel through)."""
+    import numpy as np
+
+    from fusets_spark.sources.geotiff import write_tiff
+    from fusets_spark.sources.loaders import load_sits_geotiff
+
+    arr = np.full((2, 2), 5.0, dtype=np.float32)
+    arr[1, 1] = np.float32(-9999.9)
+    (tmp_path / "a.tif").write_bytes(write_tiff(arr, nodata=-9999.9))
+    got = load_sits_geotiff(
+        spark, str(tmp_path), ["2024-01-01"]
+    ).toPandas()
+    assert int(got["value"].isna().sum()) == 1
+    assert set(got["value"].dropna()) == {5.0}
+
+
+def test_load_sits_geotiff_natural_order_pairing(spark, tmp_path):
+    """date-2.tif must pair BEFORE date-10.tif (natural path order,
+    positional with caller-given coords) — lexicographic order would
+    silently attach the wrong dates (reference assign_coords is
+    positional)."""
+    import numpy as np
+
+    from fusets_spark.sources.geotiff import write_tiff
+    from fusets_spark.sources.loaders import load_sits_geotiff
+
+    for k in (2, 10):
+        (tmp_path / f"date-{k}.tif").write_bytes(
+            write_tiff(np.full((1, 1), float(k), dtype=np.float32))
+        )
+    got = load_sits_geotiff(
+        spark, str(tmp_path), ["2024-01-02", "2024-01-10"]
+    ).toPandas()
+    by_ts = got.set_index("ts")["value"].to_dict()
+    assert by_ts[pd.Timestamp("2024-01-02")] == 2.0
+    assert by_ts[pd.Timestamp("2024-01-10")] == 10.0
+
+
+def test_load_sits_geotiff_band_count_mismatch(spark, tmp_path):
+    """Band mode validates band count vs time coords on the driver with
+    a clear error, not an executor-side IndexError / silent drop."""
+    import numpy as np
+
+    from fusets_spark.sources.geotiff import write_tiff
+    from fusets_spark.sources.loaders import load_sits_geotiff
+
+    cube = np.stack(
+        [np.full((2, 2), 1.0), np.full((2, 2), 2.0)], axis=2
+    ).astype(np.float32)
+    (tmp_path / "stack.tif").write_bytes(write_tiff(cube))
+    with pytest.raises(ValueError, match="2 bands but 3 time coords"):
+        load_sits_geotiff(
+            spark,
+            str(tmp_path / "stack.tif"),
+            ["2024-03-01", "2024-03-02", "2024-03-03"],
+            time_dimension="band",
+        )
+
+
 def test_load_sits_geotiff_band_mode(spark, tmp_path):
     """time_dimension='band': one multi-sample file, bands = dates."""
     import numpy as np
