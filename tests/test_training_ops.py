@@ -151,6 +151,52 @@ def test_lang_id_on_crafted_text(spark):
     assert got.loc[4, "predicted_lang"] == "es"
 
 
+def test_minhash_lsh_hot_bucket_cap_linear(spark):
+    """ADVERSARIAL: 10⁴ identical docs land in ONE band bucket per band.
+    Uncapped all-pairs would be ~5·10⁷ candidate rows; the hot-bucket
+    star cap must emit exactly m−1 pairs (bucket-min × every other doc)
+    — O(m·cap) work, not O(m²) — while keeping the cluster fully
+    connected for components."""
+    from fusets_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        neardup_components,
+    )
+
+    m = 10_000
+    docs = spark.range(m).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog again").alias(
+            "text"
+        ),
+    )
+    pairs = minhash_lsh_pairs(docs, max_bucket_size=64)
+    got = pairs.toPandas()
+    # star: every pair anchors at the bucket-min doc (id 0)
+    assert len(got) == m - 1
+    assert set(got["doc_a"]) == {0}
+    assert set(got["doc_b"]) == set(range(1, m))
+    # connectivity preserved: one component, survivor = doc 0
+    comp = neardup_components(docs, pairs).toPandas()
+    assert set(comp["component"]) == {0}
+    assert int(comp["is_survivor"].sum()) == 1
+
+
+def test_minhash_lsh_cold_buckets_unchanged_by_cap(spark):
+    """The cap only rewrites buckets LARGER than max_bucket_size: on a
+    corpus with no hot bucket, the capped pair set is byte-identical to
+    the uncapped all-pairs set."""
+    from fusets_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    capped = minhash_lsh_pairs(docs, max_bucket_size=64).toPandas()
+    uncapped = minhash_lsh_pairs(docs, max_bucket_size=10**9).toPandas()
+    key = ["doc_a", "doc_b"]
+    pd.testing.assert_frame_equal(
+        capped.sort_values(key).reset_index(drop=True),
+        uncapped.sort_values(key).reset_index(drop=True),
+    )
+
+
 def test_neardup_components_transitive_chain(spark):
     """a~b, b~c, d~e ⇒ components {a,b,c} and {d,e}; f is a singleton; the
     survivor is the min doc of each cluster."""
