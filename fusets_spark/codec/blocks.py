@@ -177,21 +177,31 @@ def compact_blocks(
     count (and per-block header overhead) bounded as tiers cool.
 
     Whole blocks move; a block is never split — the shuffle key is a hash
-    bucket of the series, and each applyInPandas call decodes its blocks,
-    concatenates runs per (doc, coarse bucket) (blocks cover disjoint time
-    ranges per series, so bucket_ts order == ts order), and re-encodes.
-    Output bytes are IDENTICAL to encoding the raw points at
-    target_seconds directly (pinned in tests), so compaction composes:
-    compact(compact(x, 1d), 7d) == encode(x, 7d)."""
+    bucket of the series, and each applyInPandas call concatenates runs
+    per (doc, coarse bucket) (blocks cover disjoint time ranges per
+    series, so bucket_ts order == ts order) and re-encodes. Output bytes
+    are IDENTICAL to encoding the raw points at target_seconds directly
+    (pinned in tests), so compaction composes:
+    compact(compact(x, 1d), 7d) == encode(x, 7d).
+
+    SINGLE-BLOCK FAST PATH: a run holding exactly one fine block needs NO
+    decode/re-encode — the block bytes are a pure function of the run's
+    canonical point sequence, which is unchanged; only bucket_ts
+    relabels to the coarse grid. In a steady-state tier most series
+    contribute one block per coarse bucket (a series only has several
+    when it straddles a fine-bucket boundary or received late data), so
+    the fast path skips the codec for the large majority of blocks. This
+    is what keeps compaction from being DRAM-bound at high core counts:
+    the decode+encode memory traffic only runs for runs that genuinely
+    merge."""
 
     def _compact(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            "source", "doc_id", "bucket_ts", "n_points",
+            "min_ts", "max_ts", "codec", "block",
+        ]
         if not len(pdf):
-            return pd.DataFrame(
-                columns=[
-                    "source", "doc_id", "bucket_ts", "n_points",
-                    "min_ts", "max_ts", "codec", "block",
-                ]
-            )
+            return pd.DataFrame(columns=cols)
         # min_ts in the sort key: multi-batch inputs can hold several blocks
         # for the same (doc_id, bucket_ts) (late-data batches) — without it,
         # ties fall back to file-read order and the compacted bytes vary
@@ -202,45 +212,85 @@ def compact_blocks(
         docs = pdf["doc_id"].to_numpy()
         bkt_us = pdf["bucket_ts"].astype("int64").to_numpy() // 10**3
         coarse = bkt_us - bkt_us % (target_seconds * 10**6)
-        counts, ts, vals = decode_blocks_batch(
-            [bytes(b) for b in pdf["block"]]
-        )
         new = np.r_[True, (docs[1:] != docs[:-1]) | (np.diff(coarse) != 0)]
         bs = np.flatnonzero(new)
         be = np.r_[bs[1:], len(docs)]
-        pt_off = np.r_[0, np.cumsum(counts)]
-        runs_ts, runs_vals = [], []
-        for s, e in zip(bs, be):
-            rt = ts[pt_off[s] : pt_off[e]]
-            rv = vals[pt_off[s] : pt_off[e]]
-            # Overlapping-block runs (late-data batches for the same series)
-            # may interleave in time or even hold tied timestamps — re-sort
-            # to the CANONICAL (ts, value) order so the compacted bytes are
-            # a pure function of the point multiset, independent of batch /
-            # file-read order. The common single-block case is already
-            # strictly increasing and skips the sort.
-            if len(rt) > 1 and np.any(np.diff(rt) <= 0):
-                order = np.lexsort((rv, rt))
-                rt, rv = rt[order], rv[order]
-            runs_ts.append(rt)
-            runs_vals.append(rv)
-        blks = encode_blocks_batched(runs_ts, runs_vals)
-        return pd.DataFrame(
-            {
-                "source": np.repeat(pdf["source"].iloc[0], len(bs)),
-                "doc_id": docs[bs],
-                "bucket_ts": pd.to_datetime(coarse[bs] * 10**3),
-                "n_points": (pt_off[be] - pt_off[bs]).astype(np.int64),
-                "min_ts": pd.to_datetime(
-                    np.array([rt[0] for rt in runs_ts]) * 10**3
-                ),
-                "max_ts": pd.to_datetime(
-                    np.array([rt[-1] for rt in runs_ts]) * 10**3
-                ),
-                "codec": CODEC_NAME,
-                "block": blks,
-            }
-        )
+        run_len = be - bs
+        run_id = np.cumsum(new) - 1
+        multi_blk = run_len[run_id] > 1  # per input block
+        single_rs = np.flatnonzero(run_len == 1)
+        multi_rs = np.flatnonzero(run_len > 1)
+        src_arr = pdf["source"].to_numpy()
+        blk_arr = pdf["block"].to_numpy()
+        frames = []
+        if len(single_rs):
+            idx = bs[single_rs]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "source": src_arr[idx],
+                        "doc_id": docs[idx],
+                        "bucket_ts": pd.to_datetime(coarse[idx] * 10**3),
+                        "n_points": pdf["n_points"].to_numpy()[idx].astype(
+                            np.int64
+                        ),
+                        "min_ts": pdf["min_ts"].to_numpy()[idx],
+                        "max_ts": pdf["max_ts"].to_numpy()[idx],
+                        # bytes unchanged -> codec label unchanged
+                        "codec": pdf["codec"].to_numpy()[idx],
+                        "block": blk_arr[idx],
+                    }
+                )
+            )
+        if len(multi_rs):
+            mb_idx = np.flatnonzero(multi_blk)
+            counts, ts, vals = decode_blocks_batch(
+                [bytes(b) for b in blk_arr[mb_idx]]
+            )
+            pt_off = np.r_[0, np.cumsum(counts)]
+            # dense position of each multi block within the decoded subset
+            pos_in_sub = np.cumsum(multi_blk) - 1
+            runs_ts, runs_vals = [], []
+            for r in multi_rs:
+                s = pos_in_sub[bs[r]]
+                e = pos_in_sub[be[r] - 1] + 1
+                rt = ts[pt_off[s] : pt_off[e]]
+                rv = vals[pt_off[s] : pt_off[e]]
+                # Overlapping-block runs (late-data batches for the same
+                # series) may interleave in time or even hold tied
+                # timestamps — re-sort to the CANONICAL (ts, value) order
+                # so the compacted bytes are a pure function of the point
+                # multiset, independent of batch / file-read order.
+                if np.any(np.diff(rt) <= 0):
+                    order = np.lexsort((rv, rt))
+                    rt, rv = rt[order], rv[order]
+                runs_ts.append(rt)
+                runs_vals.append(rv)
+            blks = encode_blocks_batched(runs_ts, runs_vals)
+            idx = bs[multi_rs]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "source": src_arr[idx],
+                        "doc_id": docs[idx],
+                        "bucket_ts": pd.to_datetime(coarse[idx] * 10**3),
+                        "n_points": np.asarray(
+                            [len(rt) for rt in runs_ts], dtype=np.int64
+                        ),
+                        "min_ts": pd.to_datetime(
+                            np.array([rt[0] for rt in runs_ts]) * 10**3
+                        ),
+                        "max_ts": pd.to_datetime(
+                            np.array([rt[-1] for rt in runs_ts]) * 10**3
+                        ),
+                        "codec": CODEC_NAME,
+                        "block": blks,
+                    }
+                )
+            )
+        if len(frames) == 1:
+            return frames[0]
+        return pd.concat(frames, ignore_index=True)
 
     from ..session import default_groups, repartition_for_kernel
 

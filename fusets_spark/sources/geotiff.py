@@ -11,10 +11,14 @@ decoding with an explicit gate for compressed/tiled variants.
 
 Supported: II and MM byte orders, multi-IFD (multi-page) files, u8/u16/
 u32/i8/i16/i32/f32/f64 samples, multi-sample chunky pixels, multi-strip
-data, and the GeoTIFF georeferencing tags (ModelPixelScale 33550,
-ModelTiepoint 33922, GDAL nodata 42113) → an affine geotransform.
-Gated (clear NotImplementedError): any Compression != 1, tiled layout,
-and planar configuration 2.
+data, DEFLATE-compressed strips (Compression 8 "Adobe deflate" and the
+legacy 32946 code; zlib is stdlib) with horizontal differencing
+(Predictor 2) on integer samples, and the GeoTIFF georeferencing tags
+(ModelPixelScale 33550, ModelTiepoint 33922, GDAL nodata 42113) → an
+affine geotransform.
+Gated (clear NotImplementedError): other compressions (LZW/JPEG/
+PackBits/ZSTD…), the floating-point Predictor 3, tiled layout, and
+planar configuration 2.
 
 Scale path: `sources.loaders.load_sits_geotiff` explodes raster pixels
 to long rows ON EXECUTORS (binaryFile + mapInPandas), one granule per
@@ -36,7 +40,10 @@ _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
 T_WIDTH, T_HEIGHT, T_BITS, T_COMPRESSION = 256, 257, 258, 259
 T_STRIP_OFFSETS, T_SPP, T_ROWS_PER_STRIP, T_STRIP_COUNTS = 273, 277, 278, 279
 T_PLANAR, T_SAMPLE_FORMAT = 284, 339
+T_PREDICTOR = 317
 T_PIXEL_SCALE, T_TIEPOINT, T_NODATA = 33550, 33922, 42113
+
+_DEFLATE_CODES = (8, 32946)  # Adobe deflate + the legacy COMPRESSION_DEFLATE
 
 
 @dataclass
@@ -112,11 +119,13 @@ def read_tiff(buf: bytes) -> list[TiffPage]:
             )
         (ifd_off,) = struct.unpack_from(bo + "I", buf, ifd_off + 2 + 12 * n_tags)
 
-        if tags.get(T_COMPRESSION, 1) != 1:
+        compression = int(tags.get(T_COMPRESSION, 1))
+        if compression != 1 and compression not in _DEFLATE_CODES:
             raise NotImplementedError(
-                f"TIFF compression {tags[T_COMPRESSION]} — only baseline "
-                "uncompressed rasters decode without raster libraries "
-                "(convert with `gdal_translate -co COMPRESS=NONE` offline)"
+                f"TIFF compression {compression} — only baseline "
+                "uncompressed and DEFLATE (8/32946) rasters decode "
+                "without raster libraries (convert with "
+                "`gdal_translate -co COMPRESS=DEFLATE` offline)"
             )
         if 322 in tags or 323 in tags:  # TileWidth/TileLength
             raise NotImplementedError("tiled TIFF layout unsupported")
@@ -142,9 +151,41 @@ def read_tiff(buf: bytes) -> list[TiffPage]:
         cnts = tags[T_STRIP_COUNTS]
         offs = offs if isinstance(offs, tuple) else (offs,)
         cnts = cnts if isinstance(cnts, tuple) else (cnts,)
-        raw = b"".join(buf[o : o + c] for o, c in zip(offs, cnts))
+        if compression in _DEFLATE_CODES:
+            import zlib
+
+            # strips are independently deflated zlib streams
+            raw = b"".join(
+                zlib.decompress(buf[o : o + c])
+                for o, c in zip(offs, cnts)
+            )
+        else:
+            raw = b"".join(buf[o : o + c] for o, c in zip(offs, cnts))
         data = np.frombuffer(raw, dtype=dtype, count=h * w * spp)
         data = data.reshape((h, w) if spp == 1 else (h, w, spp))
+
+        predictor = int(tags.get(T_PREDICTOR, 1))
+        if predictor == 2:
+            # horizontal differencing: stored[x] = cur[x] - cur[x-1]
+            # (mod 2^bits) per row and sample channel; reconstruction is
+            # a wrapping cumulative sum over the width axis on the
+            # UNSIGNED view of the decoded samples (the spec defines the
+            # difference on the sample's bit pattern)
+            if kind == "f":
+                raise NotImplementedError(
+                    "TIFF Predictor 3 (floating point) unsupported"
+                )
+            u = np.dtype(f"u{bits // 8}")
+            acc = np.add.accumulate(
+                data.astype(data.dtype.newbyteorder("=")).view(u),
+                axis=1,
+                dtype=u,
+            )
+            data = acc.view(f"{kind}{bits // 8}")
+        elif predictor == 3:
+            raise NotImplementedError(
+                "TIFF Predictor 3 (floating point) unsupported"
+            )
 
         nodata = tags.get(T_NODATA)
         pages.append(
@@ -166,9 +207,16 @@ def write_tiff(
     pixel_scale: tuple | None = None,
     tiepoint: tuple | None = None,
     nodata: float | None = None,
+    compress: str | None = None,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
 ) -> bytes:
-    """Minimal single-page little-endian baseline TIFF (one strip) —
-    fixture generator for tests and offline conversion checks."""
+    """Minimal single-page little-endian TIFF — fixture generator for
+    tests and offline conversion checks. compress='deflate' produces
+    Compression=8 strips (independent zlib streams, `rows_per_strip`
+    rows each); predictor=2 applies horizontal differencing on integer
+    samples before compression (the layout GDAL's
+    `-co COMPRESS=DEFLATE -co PREDICTOR=2` emits)."""
     data = np.asarray(data)
     if data.ndim == 2:
         h, w = data.shape
@@ -178,9 +226,41 @@ def write_tiff(
     kind = data.dtype.kind
     fmt = {"u": 1, "i": 2, "f": 3}[kind]
     bits = data.dtype.itemsize * 8
-    pix = data.astype(f"<{kind}{data.dtype.itemsize}").tobytes()
+    if compress not in (None, "deflate"):
+        raise NotImplementedError(f"write compression {compress!r}")
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"write predictor {predictor}")
+    native = data.astype(f"<{kind}{data.dtype.itemsize}")
+    if predictor == 2:
+        if kind == "f":
+            raise NotImplementedError(
+                "Predictor 2 is integer-only (3 would be the float one)"
+            )
+        u = np.dtype(f"<u{data.dtype.itemsize}")
+        uv = native.view(u)
+        diff = uv.copy()
+        if data.ndim == 2:
+            diff[:, 1:] = uv[:, 1:] - uv[:, :-1]
+        else:
+            diff[:, 1:, :] = uv[:, 1:, :] - uv[:, :-1, :]
+        native = diff.view(native.dtype)
+    rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
+    strips: list[bytes] = []
+    for r0 in range(0, h, rps):
+        chunk = native[r0 : r0 + rps].tobytes()
+        if compress == "deflate":
+            import zlib
+
+            chunk = zlib.compress(chunk)
+        strips.append(chunk)
+    pix = b"".join(strips)
 
     strip_off = 8
+    strip_offs = []
+    o = strip_off
+    for s in strips:
+        strip_offs.append(o)
+        o += len(s)
     ext: list[bytes] = []
     ext_off = strip_off + len(pix) + (len(pix) & 1)
 
@@ -206,14 +286,16 @@ def write_tiff(
     tag(T_WIDTH, 4, [w], "I")
     tag(T_HEIGHT, 4, [h], "I")
     tag(T_BITS, 3, [bits] * spp, "H")
-    tag(T_COMPRESSION, 3, [1], "H")
+    tag(T_COMPRESSION, 3, [8 if compress == "deflate" else 1], "H")
     tag(262, 3, [1], "H")  # BlackIsZero
-    tag(T_STRIP_OFFSETS, 4, [strip_off], "I")
+    tag(T_STRIP_OFFSETS, 4, strip_offs, "I")
     tag(T_SPP, 3, [spp], "H")
-    tag(T_ROWS_PER_STRIP, 4, [h], "I")
-    tag(T_STRIP_COUNTS, 4, [len(pix)], "I")
+    tag(T_ROWS_PER_STRIP, 4, [rps], "I")
+    tag(T_STRIP_COUNTS, 4, [len(s) for s in strips], "I")
     tag(T_PLANAR, 3, [1], "H")
     tag(T_SAMPLE_FORMAT, 3, [fmt] * spp, "H")
+    if predictor == 2:
+        tag(T_PREDICTOR, 3, [2], "H")
     if pixel_scale is not None:
         tag(T_PIXEL_SCALE, 12, list(pixel_scale), "d")
     if tiepoint is not None:

@@ -353,6 +353,91 @@ def test_load_sits_geotiff_file_per_date(spark, tmp_path):
     assert set(d0["value"]) == {1.0}
 
 
+def test_geotiff_deflate_roundtrip_multistrip():
+    """DEFLATE strips (Compression=8) decode without raster libraries:
+    multi-strip float32 raster, independent zlib streams per strip."""
+    import numpy as np
+
+    from fusets_spark.sources.geotiff import read_tiff, write_tiff
+
+    rng = np.random.default_rng(7)
+    arr = rng.normal(size=(9, 5)).astype(np.float32)
+    buf = write_tiff(arr, compress="deflate", rows_per_strip=4)
+    assert len(read_tiff.__doc__) > 0
+    p = read_tiff(buf)[0]
+    np.testing.assert_array_equal(np.asarray(p.data), arr)
+
+
+def test_geotiff_deflate_predictor2_roundtrip():
+    """Horizontal differencing (Predictor=2) on integer samples — the
+    GDAL `-co COMPRESS=DEFLATE -co PREDICTOR=2` layout — reconstructs
+    exactly, including wraparound at the dtype boundary and multi-sample
+    pixels."""
+    import numpy as np
+
+    from fusets_spark.sources.geotiff import read_tiff, write_tiff
+
+    # u16 with wraparound-inducing jumps
+    arr = np.array(
+        [[0, 65535, 1, 40000], [7, 7, 7, 65534]], dtype=np.uint16
+    )
+    p = read_tiff(
+        write_tiff(arr, compress="deflate", predictor=2, rows_per_strip=1)
+    )[0]
+    np.testing.assert_array_equal(np.asarray(p.data), arr)
+    # signed 16-bit, negative values
+    arr_i = np.array([[-5, 100, -30000], [32767, -32768, 0]], dtype=np.int16)
+    p = read_tiff(write_tiff(arr_i, compress="deflate", predictor=2))[0]
+    np.testing.assert_array_equal(np.asarray(p.data), arr_i)
+    # multi-sample chunky pixels: predictor differences per channel
+    arr_m = np.arange(2 * 3 * 2, dtype=np.uint8).reshape(2, 3, 2) * 7
+    p = read_tiff(write_tiff(arr_m, compress="deflate", predictor=2))[0]
+    np.testing.assert_array_equal(np.asarray(p.data), arr_m)
+
+
+def test_geotiff_deflate_predictor_golden_bytes():
+    """Spec-golden: the stored first strip of a predictor-2 deflate file
+    must inflate to the horizontally-differenced byte layout (not the
+    raw samples) — pins the writer against self-consistent-but-wrong
+    encode/decode pairs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from fusets_spark.sources.geotiff import write_tiff
+
+    arr = np.array([[10, 13, 11]], dtype=np.uint8)
+    buf = write_tiff(arr, compress="deflate", predictor=2)
+    # single strip at offset 8; find its byte count from the IFD (tag 279)
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    (n_tags,) = struct.unpack_from("<H", buf, ifd_off)
+    cnt = None
+    for i in range(n_tags):
+        tagno, ttype = struct.unpack_from("<HH", buf, ifd_off + 2 + 12 * i)
+        if tagno == 279:
+            (cnt,) = struct.unpack_from("<I", buf, ifd_off + 2 + 12 * i + 8)
+    assert cnt is not None
+    # 10, 13-10=3, 11-13=-2 (mod 256 = 254)
+    assert zlib.decompress(buf[8 : 8 + cnt]) == bytes([10, 3, 254])
+
+
+def test_geotiff_lzw_still_gated():
+    """Only DEFLATE joined the supported set — LZW keeps its clear gate."""
+    import numpy as np
+    import pytest as _pytest
+
+    from fusets_spark.sources.geotiff import read_tiff, write_tiff
+
+    with _pytest.raises(NotImplementedError, match="compression"):
+        write_tiff(np.zeros((2, 2), np.uint8), compress="lzw")
+    # float predictor stays gated on read and write
+    with _pytest.raises(NotImplementedError, match="integer-only"):
+        write_tiff(
+            np.zeros((2, 2), np.float32), compress="deflate", predictor=2
+        )
+
+
 def test_load_sits_geotiff_fractional_nodata_f32(spark, tmp_path):
     """Fractional nodata in a float32 raster must mask: the compare runs
     in the NATIVE dtype (float64(float32(-9999.9)) != -9999.9, so a
