@@ -389,6 +389,113 @@ def q_netcdf_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + netCDF loaders folded into ONE driver slot (round 6: frees a
+    row under the hard 50-cap for geotiff_load). Both round trips run in
+    full — `fmt` tags which loader produced each row, so a regression in
+    either one still reddens this row."""
+    csv = q_csv_load(spark, sf_dir).withColumn("fmt", F.lit("csv"))
+    nc = q_netcdf_load(spark, sf_dir).withColumn("fmt", F.lit("nc"))
+    return csv.unionByName(nc)
+
+
+def q_geotiff_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTIFF source loader (reference sits_bridge.py:148-199
+    load_sits_geotiff) through BOTH stacking modes: the events table is
+    aggregated to a per-(event_type, user, day) daily-mean cube, users
+    are laid onto a ceil(sqrt(n))-wide pixel grid, and the cube is
+    written at query time with the dependency-free writer
+    (sources/geotiff.py) as
+      * file-per-date for the FIRST event_type — one DEFLATE multi-strip
+        raster per day, ungeoreferenced (pixel-index coords), exercising
+        natural-order path↔coord pairing and the round-6 Compression=8
+        read path on executors;
+      * time_dimension='band' for the rest — ONE georeferenced
+        multi-band file per event_type (bands = time axis), exercising
+        the band-count probe and the ModelPixelScale/Tiepoint →
+        cell-center transform.
+    Granules load back via sources/loaders.load_sits_geotiff (binaryFile
+    → executor-side pure-numpy TIFF parse → pixel explosion); nodata
+    (-9999, GDAL tag 42113) masks the grid gaps. The oracle computes the
+    same daily means and grid coordinates straight from parquet, so the
+    whole write→inflate→explode round trip must be value-exact."""
+    import hashlib
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from fusets_spark.sources.geotiff import write_tiff
+    from fusets_spark.sources.loaders import load_sits_geotiff
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", "user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+        .toPandas()  # bounded: users x days x event_types aggregate
+    )
+    users = np.sort(daily["user_id"].unique())
+    days = pd.date_range(daily["day"].min(), daily["day"].max(), freq="D")
+    grid_w = int(np.ceil(np.sqrt(len(users))))
+    grid_h = int(np.ceil(len(users) / grid_w))
+    ui = {u: i for i, u in enumerate(users)}
+    di = {d.date(): i for i, d in enumerate(days)}
+    nod = -9999.0
+    # fixed per-SF dir, fully cleared each run (stale granules from a
+    # prior data generation would corrupt the row); local-mode /tmp
+    # sharing assumption as q_netcdf_load
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/fusets_tif_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    ets = sorted(daily["event_type"].unique())
+    times = list(days)
+    outs = []
+    for et in ets:
+        g = daily[daily["event_type"] == et]
+        cube = np.full((len(days), grid_h, grid_w), nod)
+        idx = np.array([ui[u] for u in g["user_id"]])
+        trow = np.array([di[d] for d in g["day"]])
+        cube[trow, idx // grid_w, idx % grid_w] = g["v"].to_numpy()
+        d = os.path.join(root, et)
+        os.makedirs(d)
+        if et == ets[0]:
+            for i in range(len(days)):
+                with open(os.path.join(d, f"day-{i:03d}.tif"), "wb") as f:
+                    f.write(
+                        write_tiff(
+                            cube[i], nodata=nod,
+                            compress="deflate", rows_per_strip=5,
+                        )
+                    )
+            df = load_sits_geotiff(spark, d, times)
+        else:
+            with open(os.path.join(d, f"{et}.tif"), "wb") as f:
+                f.write(
+                    write_tiff(
+                        np.moveaxis(cube, 0, 2),  # (h, w, bands=time)
+                        pixel_scale=(0.5, 0.5, 0.0),
+                        tiepoint=(0.0, 0.0, 0.0, 10.0, 20.0, 0.0),
+                        nodata=nod, compress="deflate",
+                    )
+                )
+            df = load_sits_geotiff(spark, d, times, time_dimension="band")
+        outs.append(df.withColumn("source", F.lit(et)))
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    # nodata pixels surface as NULL (loader masks) — drop grid gaps
+    return out.filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    ).select(
+        "source",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "y",
+        "x",
+        _rz(F.col("value"), 6).alias("value"),
+    )
+
+
 def q_output_grid_p5d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO-8601 output date grid (reference _xarray_utils.py:43-46
     _output_dates; the F6 71-date golden is in tests/test_timeaxis.py):
@@ -1264,10 +1371,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_binary_meta": q_media_binary_meta,
         "multimodal_decode_pixels": q_multimodal_decode_pixels,
         "media_resize": q_media_resize,
-        # --- source layer (multimodal_decode's header checks moved to
-        # pytest in round 5 to free this slot for the netCDF loader) ------
-        "csv_load": q_csv_load,
-        "netcdf_load": q_netcdf_load,
+        # --- source layer (round 6: csv+netcdf fold into one combined
+        # round-trip row, freeing the slot for the GeoTIFF loader — the
+        # last §2 source without a driver row) ----------------------------
+        "source_roundtrip": q_source_roundtrip,
+        "geotiff_load": q_geotiff_load,
     }
     assert len(q) == 50, f"driver registry must hold exactly 50, got {len(q)}"
     return q
@@ -3044,12 +3152,20 @@ SELECT event_type AS source,
        value
 FROM events
 """,
-        "csv_load": """
-SELECT event_type AS source,
+        "source_roundtrip": """
+SELECT 'csv' AS fmt, event_type AS source,
        CAST(user_id AS VARCHAR) AS doc_id,
        ts,
        round(value, 6) + 0.0 AS value
 FROM events
+UNION ALL
+SELECT 'nc' AS fmt, source, doc_id, ts, value FROM (
+  SELECT event_type AS source, CAST(user_id AS VARCHAR) AS doc_id,
+         CAST(CAST(ts AS DATE) AS TIMESTAMP) AS ts,
+         round(avg(value), 6) + 0.0 AS value
+  FROM events
+  GROUP BY 1, 2, 3
+)
 """,
         "dedup_exact": """
 SELECT md5(text) AS digest,
@@ -3069,12 +3185,33 @@ FROM documents GROUP BY 1
         "lang_id": _LANGID_ORACLE,
         "token_counts": _TOKEN_ORACLE,
         "doc_fingerprint": _FINGERPRINT_ORACLE,
-        "netcdf_load": """
-SELECT event_type AS source, CAST(user_id AS VARCHAR) AS doc_id,
-       CAST(CAST(ts AS DATE) AS TIMESTAMP) AS ts,
-       round(avg(value), 6) + 0.0 AS value
-FROM events
-GROUP BY 1, 2, 3
+        "geotiff_load": """
+WITH u AS (
+  SELECT user_id, row_number() OVER (ORDER BY user_id) - 1 AS idx
+  FROM (SELECT DISTINCT user_id FROM events)
+), dims AS (
+  SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS w FROM u
+), et0 AS (
+  SELECT min(event_type) AS e FROM events
+), daily AS (
+  SELECT e.event_type,
+         CAST(CAST(e.ts AS DATE) AS TIMESTAMP) AS ts,
+         u.idx // d.w AS r, u.idx % d.w AS c,
+         round(avg(e.value), 6) + 0.0 AS v
+  FROM events e
+  CROSS JOIN dims d
+  JOIN u ON e.user_id = u.user_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_type AS source, ts,
+       CASE WHEN event_type = (SELECT e FROM et0)
+            THEN CAST(r AS DOUBLE)
+            ELSE 20.0 - (r + 0.5) * 0.5 END AS y,
+       CASE WHEN event_type = (SELECT e FROM et0)
+            THEN CAST(c AS DOUBLE)
+            ELSE 10.0 + (c + 0.5) * 0.5 END AS x,
+       v AS value
+FROM daily
 """,
         "multimodal_decode_pixels": """
 SELECT CAST(d.doc_id AS VARCHAR) AS media_id, g.y, g.x,

@@ -468,6 +468,48 @@ def main() -> None:
             spark.catalog.clearCache()
         training[name] = round(t_best, 3)
     out["training_ops"] = training
+
+    # --- second scale point, DRIVER-VISIBLE (round 6) ----------------------
+    # Every per-query number above is sf0.1; until now a scale regression
+    # only showed in the manually-refreshed SCALE.json. Synthesize a
+    # deterministic 10x events corpus (user_id-offset replication: same
+    # per-series shape, 10x distinct series — the axis a bigger cluster
+    # grows along) and time the three flagship queries once each, so the
+    # per-round artifact itself carries two SFs.
+    sf10: dict = {}
+    if time.monotonic() - T_BENCH0 < WALL_GUARD_SEC:
+        from pyspark.sql import functions as F
+
+        sf10_dir = "/tmp/fusets_bench_sf10x"
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ev10 = (
+            ev.select(
+                "*", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("rep")
+            )
+            .withColumn(
+                "user_id",
+                F.col("user_id") + F.col("rep") * F.lit(10_000_000),
+            )
+            .drop("rep")
+        )
+        ev10.write.mode("overwrite").parquet(f"{sf10_dir}/events.parquet")
+        sf10["n_events"] = spark.read.parquet(
+            f"{sf10_dir}/events.parquet"
+        ).count()
+        for name, fn in [
+            ("rollup_1m", qs["rollup_1m"]),
+            ("whittaker_gapfill", _full_whittaker),
+            ("gorilla_roundtrip", qs["gorilla_roundtrip"]),
+        ]:
+            _, dt, _cpu = _timed_retry(
+                lambda: _noop_write(fn(spark, sf10_dir)),
+                f"sf10x {name}",
+                spark=spark,
+            )
+            sf10[name] = round(dt, 3)
+    else:
+        sf10["skipped"] = "wall guard"
+    out["sf10x"] = sf10
     spark.stop()
 
     out["queries"] = timings
@@ -497,6 +539,7 @@ def main() -> None:
         "sf": SF_DIR,
         "queries": timings,
         "training_ops": training,
+        "sf10x": sf10,
         "seq_per_sec_all_tiers": out["seq_per_sec_all_tiers"],
         "scaling_pair": out["rollup"]["scaling_pair"],
         "speedup": out["rollup"]["speedup"],

@@ -154,6 +154,7 @@ def seal_all_with_sentinels(
     work_dir: str,
     block_seconds: int = 3600,
     sentinel_source: str = "__sentinel__",
+    sink: str = "memory",
 ) -> DataFrame:
     """Deterministic bounded-backlog drain: write the real points as one
     file plus TWO trailing sentinel files whose event times lie far past
@@ -161,7 +162,17 @@ def seal_all_with_sentinels(
     batch N's watermark from data through batch N-1, so the second
     sentinel batch runs with the watermark already past every real
     bucket — sealing all real blocks. Sentinel rows are filtered from the
-    returned (batch) DataFrame of sealed blocks."""
+    returned (batch) DataFrame of sealed blocks.
+
+    Sinks: sink='memory' (default) materializes the sealed blocks through
+    a memory sink + collect — DRIVER-ROW-SCOPED: it exists so the driver
+    correctness query can hand back one bounded DataFrame, and it holds
+    the full result on the driver. The production path is sink='parquet',
+    which streams sealed blocks straight to `<work_dir>/blocks` files with
+    a checkpoint (exactly-once, nothing driver-side) — executors write,
+    the returned DataFrame is a plain parquet scan of the sink. Byte
+    identity with the batch encoder is pinned for BOTH sinks in
+    tests/test_streaming.py."""
     import glob
     import os
     import shutil
@@ -205,6 +216,25 @@ def seal_all_with_sentinels(
         .parquet(pts_path)
     )
     out = stream_encode_blocks(stream, block_seconds=block_seconds)
+    if sink == "parquet":
+        blocks_path = os.path.join(work_dir, "blocks")
+        ckpt_path = os.path.join(work_dir, "ckpt")
+        shutil.rmtree(blocks_path, ignore_errors=True)
+        shutil.rmtree(ckpt_path, ignore_errors=True)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", blocks_path)
+            .option("checkpointLocation", ckpt_path)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(blocks_path).filter(
+            F.col("source") != sentinel_source
+        )
+    if sink != "memory":
+        raise ValueError(f"unknown sink {sink!r} (memory|parquet)")
     import uuid
 
     name = f"stream_blocks_{uuid.uuid4().hex[:8]}"

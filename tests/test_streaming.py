@@ -131,3 +131,34 @@ def test_stateful_stream_blocks_match_batch_encoder(spark, tmp_path):
 
     assert len(got) == len(want) and len(got) > 0
     assert bag(got) == bag(want)
+
+
+def test_stream_blocks_file_sink_byte_identical(spark, tmp_path):
+    """PRODUCTION sink path (round 6): the sealed-block stream written
+    through a parquet file sink + checkpoint — no memory sink, no driver
+    collect — must hold the SAME byte-identical Gorilla blocks as the
+    batch encoder."""
+    from fusets_spark.codec.blocks import encode_blocks
+    from fusets_spark.datagen import generate_tokens
+    from fusets_spark.operators.explode import explode_raw
+    from fusets_spark.streaming.block_stream import seal_all_with_sentinels
+
+    toks = generate_tokens(spark, 35, seed=13, min_tok=32, max_tok=128)
+    pts = explode_raw(toks).select("source", "doc_id", "ts", "value")
+    work = str(tmp_path / "drain_file")
+
+    got_df = seal_all_with_sentinels(
+        spark, pts, work, block_seconds=60, sink="parquet"
+    )
+    got = got_df.toPandas()
+    want = encode_blocks(pts, block_seconds=60).toPandas()
+
+    def bag(pdf):
+        return sorted(
+            (r.source, r.doc_id, r.bucket_ts, r.min_ts, r.max_ts,
+             int(r.n_points), bytes(r.block))
+            for r in pdf.itertuples()
+        )
+
+    assert len(got) == len(want) and len(got) > 0
+    assert bag(got) == bag(want)
