@@ -172,16 +172,18 @@ def load_sits_netcdf(spark: SparkSession, path: str) -> DataFrame:
     native Spark netCDF source, so parsing happens at ingest time).
 
     Uses xarray when installed (any netCDF variant); otherwise falls back
-    to the dependency-free CLASSIC-format parser in sources/netcdf3.py —
-    real byte-level decoding, not a stub. Only NetCDF-4/HDF5 files remain
-    gated without libraries (clear NotImplementedError from the parser)."""
+    to the dependency-free parsers — classic CDF-1/2 via
+    sources/netcdf3.py, NetCDF-4 (HDF5 container, contiguous uncompressed
+    layouts) via sources/hdf5.py — real byte-level decoding, not a stub.
+    Compressed/chunked NetCDF-4 remains gated without libhdf5 (clear
+    NotImplementedError from the parser)."""
     try:
         import xarray as xr
     except ImportError:
-        from .netcdf3 import read_netcdf3
+        from .netcdf3 import read_netcdf_auto
 
         with open(path, "rb") as f:
-            parsed = read_netcdf3(f.read())
+            parsed = read_netcdf_auto(f.read())
         return spark.createDataFrame(_classic_to_frame(parsed))
     import pandas as pd
 
@@ -191,19 +193,22 @@ def load_sits_netcdf(spark: SparkSession, path: str) -> DataFrame:
 
 
 def load_netcdf_dir(spark: SparkSession, path: str) -> DataFrame:
-    """DISTRIBUTED classic-netCDF ingest: every file in `path` is parsed
-    on an executor (Spark's binaryFile source ships the bytes; a
-    mapInPandas batch runs the pure-numpy parser), so ingest parallelism
-    is file-count bound exactly like the production parquet path. The
-    output schema is probed from one file on the driver; every file must
-    share it (the multi-granule SITS layout). Adds `src_file` lineage."""
-    from .netcdf3 import read_netcdf3
+    """DISTRIBUTED netCDF ingest: every file in `path` is parsed on an
+    executor (Spark's binaryFile source ships the bytes; a mapInPandas
+    batch runs the pure-numpy parser), so ingest parallelism is
+    file-count bound exactly like the production parquet path. Classic
+    CDF-1/2 and simple NetCDF-4 (contiguous uncompressed HDF5) granules
+    both parse — magic-dispatched per file, so mixed directories work.
+    The output schema is probed from one file on the driver; every file
+    must share it (the multi-granule SITS layout). Adds `src_file`
+    lineage."""
+    from .netcdf3 import read_netcdf_auto
 
     files = spark.read.format("binaryFile").load(path)
     first = files.select("content").head()
     if first is None:
         raise ValueError(f"no files under {path}")
-    probe = _classic_to_frame(read_netcdf3(bytes(first["content"])))
+    probe = _classic_to_frame(read_netcdf_auto(bytes(first["content"])))
     probe["src_file"] = ""
     schema = spark.createDataFrame(probe.head(1)).schema
 
@@ -211,7 +216,7 @@ def load_netcdf_dir(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             for _, row in pdf.iterrows():
                 frame = _classic_to_frame(
-                    read_netcdf3(bytes(row["content"]))
+                    read_netcdf_auto(bytes(row["content"]))
                 )
                 frame["src_file"] = row["path"]
                 yield frame

@@ -7,15 +7,18 @@ self-describing binary layout — big-endian scalars, a three-section
 header (dims / global attrs / variables), then fixed-size variable data
 and interleaved record data — which numpy parses directly, the same way
 `operators/multimodal.py` decodes BMP without image libraries. The
-format work here is real, not stubbed; only NetCDF-4 files (an HDF5
-container, magic ``\\x89HDF``) remain gated with a clear error.
+format work here is real, not stubbed; NetCDF-4 files (an HDF5
+container, magic ``\\x89HDF``) route through read_netcdf_auto to the
+minimal HDF5 parser in sources/hdf5.py (contiguous uncompressed
+layouts; chunked/compressed remain gated with a clear error).
 
 Format reference: Unidata's "NetCDF Classic Format Specification"
 (public; the canonical grammar this module follows). Supported: CDF-1
 and CDF-2 (64-bit offsets), all six classic types, fixed and record
 variables, global + per-variable attributes, the single-small-record-
 variable no-padding special case, and STREAMING (0xFFFFFFFF) record
-counts. Not supported (raise): CDF-5 and NetCDF-4/HDF5.
+counts. Not supported (raise): CDF-5; NetCDF-4/HDF5 is handled by
+sources/hdf5.py via read_netcdf_auto.
 
 Scale path: `sources.loaders.load_sits_netcdf` uses this for one file;
 `load_netcdf_dir` parses a DIRECTORY of classic files distributedly —
@@ -115,9 +118,10 @@ def read_netcdf3(buf: bytes) -> dict:
     present them."""
     if buf[:4] == b"\x89HDF":
         raise NotImplementedError(
-            "NetCDF-4 file (HDF5 container) — only the classic format is "
-            "supported without netCDF4/h5py; convert with `nccopy -k "
-            "classic` offline"
+            "NetCDF-4 file (HDF5 container) — this is the classic-format "
+            "parser; use sources.hdf5.read_netcdf4 / read_netcdf_auto "
+            "(contiguous uncompressed NetCDF-4 layouts) or convert with "
+            "`nccopy -k classic` offline"
         )
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
         raise ValueError(
@@ -383,3 +387,15 @@ def decode_cf_time(vals: np.ndarray, units: str):
         np.int64
     )
     return (base + offs).astype("datetime64[us]")
+
+
+def read_netcdf_auto(buf: bytes) -> dict:
+    """Magic-dispatched netCDF parse: classic CDF-1/2 via read_netcdf3,
+    NetCDF-4 (HDF5 container, contiguous uncompressed layouts) via
+    sources/hdf5.read_netcdf4. Both return the same dict contract, so
+    loaders built on it ingest either format transparently."""
+    if buf[:4] == b"\x89HDF":
+        from .hdf5 import read_netcdf4
+
+        return read_netcdf4(buf)
+    return read_netcdf3(buf)

@@ -60,12 +60,37 @@ def test_merge_cubes_union_and_outer(spark):
 
 
 def test_netcdf_gated(spark, tmp_path):
-    """Since round 5 only NetCDF-4/HDF5 is gated (the classic format has a
-    real dependency-free parser); the gate must fire from the loader."""
+    """Round 6 narrowed the NetCDF-4 gate: simple (contiguous,
+    uncompressed) HDF5 containers now PARSE through the loader; only
+    chunked/compressed layouts remain gated — and the gate must still
+    fire from the loader with a clear message."""
+    import numpy as np
+
+    from fusets_spark.sources.hdf5 import write_netcdf4
+    from fusets_spark.sources.netcdf3 import NcVar
+
+    buf = write_netcdf4(
+        {"time": None},
+        [
+            NcVar("time", ("time",), np.arange(3, dtype=np.int32),
+                  {"units": "days since 2024-01-01"}),
+            NcVar("value", ("time",), np.array([1.0, 2.0, 3.0])),
+        ],
+    )
     p = tmp_path / "v4.nc"
-    p.write_bytes(b"\x89HDF\r\n\x1a\n" + b"\x00" * 64)
-    with pytest.raises(NotImplementedError, match="HDF5"):
-        load_sits_netcdf(spark, str(p))
+    p.write_bytes(buf)
+    out = load_sits_netcdf(spark, str(p)).toPandas()
+    assert sorted(out["value"]) == [1.0, 2.0, 3.0]
+    # chunked (= compressed) layouts stay gated: flip the contiguous
+    # layout message's class byte
+    marker = b"\x08\x00\x18\x00\x00\x00\x00\x00\x03\x01"
+    chunked = bytearray(buf)
+    pos = chunked.index(marker)
+    chunked[pos + 9] = 2
+    p2 = tmp_path / "v4_chunked.nc"
+    p2.write_bytes(bytes(chunked))
+    with pytest.raises(NotImplementedError, match="chunked"):
+        load_sits_netcdf(spark, str(p2))
 
 
 # --- netCDF3 classic (dependency-free parser, sources/netcdf3.py) ----------
@@ -560,3 +585,203 @@ def test_cf_time_fractional_and_tiff_robustness():
     circ[-4:] = struct.pack("<I", 12)
     with _pytest.raises(ValueError, match="circular"):
         read_tiff(bytes(circ))
+
+
+# ---------------------------------------------------------------------------
+# NetCDF-4 / HDF5 (round 6: sources/hdf5.py — contiguous uncompressed)
+# ---------------------------------------------------------------------------
+
+
+def test_netcdf4_roundtrip_cube():
+    """write_netcdf4 -> read_netcdf4 round trip: dimension scales,
+    DIMENSION_LIST vlen references through a real global heap, CF units
+    attr, NaN gaps, non-alphabetical dim order."""
+    import numpy as np
+
+    from fusets_spark.sources.hdf5 import read_hdf5, read_netcdf4, write_netcdf4
+    from fusets_spark.sources.netcdf3 import NcVar
+
+    time = np.arange(5, dtype=np.int32)
+    series = np.array([101, 202, 303], dtype=np.int32)
+    cube = np.arange(15, dtype=np.float64).reshape(5, 3) * 1.5
+    cube[2, 1] = np.nan
+    buf = write_netcdf4(
+        {"time": None, "series": 3},
+        [
+            NcVar("time", ("time",), time,
+                  {"units": "days since 2024-01-01"}),
+            NcVar("series", ("series",), series),
+            NcVar("value", ("time", "series"), cube),
+        ],
+    )
+    parsed = read_netcdf4(buf)
+    assert parsed["dims"] == {"time": 5, "series": 3}
+    v = parsed["vars"]["value"]
+    assert v.dims == ("time", "series")  # ref order, not name order
+    np.testing.assert_array_equal(v.data, cube)
+    np.testing.assert_array_equal(parsed["vars"]["time"].data, time)
+    assert parsed["vars"]["time"].attrs["units"] == "days since 2024-01-01"
+    # dimension scales carry the convention attrs at the HDF5 level
+    raw = read_hdf5(buf)
+    assert raw["series"].attrs["CLASS"] == "DIMENSION_SCALE"
+    assert raw["series"].attrs["NAME"] == "series"
+
+
+def test_netcdf4_superblock_spec_golden():
+    """Spec-golden absolute offsets (HDF5 File Format Spec III.A, v0
+    superblock): signature at 0, version byte at 8, 8-byte offsets/
+    lengths at 13/14, EOF address field at 40 == file size, root symbol
+    table entry's object header address at 64, and the structure
+    signatures at the addresses the structures point to."""
+    import struct
+
+    import numpy as np
+
+    from fusets_spark.sources.hdf5 import write_netcdf4
+    from fusets_spark.sources.netcdf3 import NcVar
+
+    buf = write_netcdf4(
+        {"t": None},
+        [
+            NcVar("t", ("t",), np.arange(3, dtype=np.int32)),
+            NcVar("v", ("t",), np.array([1.0, 2.0, 3.0])),
+        ],
+    )
+    assert buf[:8] == b"\x89HDF\r\n\x1a\n"
+    assert buf[8] == 0  # superblock v0
+    assert buf[13] == 8 and buf[14] == 8  # offset/length widths
+    (eof,) = struct.unpack_from("<Q", buf, 40)
+    assert eof == len(buf)
+    (root_ohdr,) = struct.unpack_from("<Q", buf, 64)
+    assert root_ohdr == 96 and buf[96] == 1  # v1 object header
+    # the root symbol table message points at a HEAP and a TREE
+    (btree, heap) = struct.unpack_from("<QQ", buf, 96 + 16 + 8)
+    assert buf[heap : heap + 4] == b"HEAP"
+    assert buf[btree : btree + 4] == b"TREE"
+    assert b"SNOD" in buf and b"GCOL" in buf
+
+
+def test_netcdf4_gates_are_clear():
+    """Unsupported-feature paths raise NAMED NotImplementedErrors (never
+    garbage): superblock v1, chunked layout, bad magic."""
+    import numpy as np
+    import pytest as _pytest
+
+    from fusets_spark.sources.hdf5 import read_hdf5, write_netcdf4
+    from fusets_spark.sources.netcdf3 import NcVar
+
+    buf = write_netcdf4(
+        {"t": None},
+        [
+            NcVar("t", ("t",), np.arange(2, dtype=np.int32)),
+            NcVar("v", ("t",), np.array([1.0, 2.0])),
+        ],
+    )
+    with _pytest.raises(ValueError, match="not an HDF5 file"):
+        read_hdf5(b"CDF\x01" + bytes(100))
+    v1 = bytearray(buf)
+    v1[8] = 1
+    with _pytest.raises(NotImplementedError, match="superblock version 1"):
+        read_hdf5(bytes(v1))
+    # flip a contiguous layout message (class byte 1 -> 2 = chunked);
+    # the padded v1 message is type=8, size=24, then body 03 01 ...
+    marker = b"\x08\x00\x18\x00\x00\x00\x00\x00\x03\x01"
+    pos = buf.index(marker)
+    chunked = bytearray(buf)
+    chunked[pos + 9] = 2
+    with _pytest.raises(NotImplementedError, match="chunked"):
+        read_hdf5(bytes(chunked))
+
+
+def test_hdf5_v2_superblock_ohdr_golden():
+    """Hand-crafted latest-format file (superblock v2, OHDR root group
+    with a COMPACT link message, v2 dataspace, compact data layout) —
+    the layout libhdf5 emits under H5F_LIBVER_LATEST. Pins the v2
+    parsing paths the old-style writer never exercises."""
+    import struct
+
+    import numpy as np
+
+    from fusets_spark.sources.hdf5 import read_hdf5
+
+    data = np.array([7, 9], dtype="<i4")
+    # dataset object header (v1) at 80
+    ds_msgs = b""
+    body = struct.pack("<BBBB", 2, 1, 0, 1) + struct.pack("<Q", 2)  # dataspace v2
+    body += b"\x00" * (-len(body) % 8)
+    ds_msgs += struct.pack("<HHBBBB", 0x0001, len(body), 0, 0, 0, 0) + body
+    body = struct.pack("<BBBBIHH", 0x10, 0x08, 0, 0, 4, 0, 32)  # i4 LE signed
+    body += b"\x00" * (-len(body) % 8)
+    ds_msgs += struct.pack("<HHBBBB", 0x0003, len(body), 0, 0, 0, 0) + body
+    body = struct.pack("<BBH", 3, 0, 8) + data.tobytes()  # compact layout
+    body += b"\x00" * (-len(body) % 8)
+    ds_msgs += struct.pack("<HHBBBB", 0x0008, len(body), 0, 0, 0, 0) + body
+    ds_ohdr = (
+        struct.pack("<BBHII", 1, 0, 3, 1, len(ds_msgs)) + b"\x00" * 4 + ds_msgs
+    )
+
+    link_body = struct.pack("<BBB", 1, 0, 3) + b"foo" + struct.pack("<Q", 80)
+    msgs = struct.pack("<BHB", 0x06, len(link_body), 0) + link_body
+    root = b"OHDR" + struct.pack("<BBB", 2, 0, len(msgs)) + msgs + b"\x00" * 4
+
+    buf = bytearray(80 + len(ds_ohdr))
+    buf[0:8] = b"\x89HDF\r\n\x1a\n"
+    struct.pack_into("<BBBB", buf, 8, 2, 8, 8, 0)
+    struct.pack_into(
+        "<QQQQ", buf, 12, 0, 0xFFFFFFFFFFFFFFFF, len(buf), 48
+    )
+    buf[48 : 48 + len(root)] = root
+    buf[80 : 80 + len(ds_ohdr)] = ds_ohdr
+
+    out = read_hdf5(bytes(buf))
+    assert list(out) == ["foo"]
+    np.testing.assert_array_equal(out["foo"].data, data)
+
+
+def test_load_netcdf_dir_mixed_classic_and_netcdf4(spark, tmp_path):
+    """The distributed directory loader magic-dispatches per file: a
+    directory holding one CLASSIC granule and one NetCDF-4 granule with
+    the same cube schema parses both on executors, identical frames."""
+    import numpy as np
+
+    from fusets_spark.sources.hdf5 import write_netcdf4
+    from fusets_spark.sources.loaders import load_netcdf_dir
+    from fusets_spark.sources.netcdf3 import NcVar, write_netcdf3
+
+    time = np.arange(4, dtype=np.int32)
+    series = np.array([11, 22], dtype=np.int32)
+    cube_a = np.arange(8, dtype=np.float64).reshape(4, 2)
+    cube_b = cube_a * 10.0
+    units = {"units": "days since 2024-03-01"}
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "a.nc").write_bytes(
+        write_netcdf3(
+            {"time": None, "series": 2},
+            [
+                NcVar("time", ("time",), time.astype(">i4"), units),
+                NcVar("series", ("series",), series.astype(">i4")),
+                NcVar("value", ("time", "series"), cube_a.astype(">f8")),
+            ],
+        )
+    )
+    (d / "b.nc").write_bytes(
+        write_netcdf4(
+            {"time": None, "series": 2},
+            [
+                NcVar("time", ("time",), time, units),
+                NcVar("series", ("series",), series),
+                NcVar("value", ("time", "series"), cube_b),
+            ],
+        )
+    )
+    out = load_netcdf_dir(spark, str(d)).toPandas()
+    assert len(out) == 16  # 4 x 2 per granule
+    a = out[out["src_file"].str.endswith("a.nc")]
+    b = out[out["src_file"].str.endswith("b.nc")]
+    assert sorted(a["value"]) == sorted(cube_a.ravel())
+    assert sorted(b["value"]) == sorted(cube_b.ravel())
+    # CF time decoded identically through both parsers
+    assert set(a["time"]) == set(b["time"])
+    assert str(min(a["time"]))[:10] == "2024-03-01"
