@@ -21,13 +21,15 @@ Scale notes:
     and then verifies candidates with the EXACT Jaccard over full sets;
   * simhash is a pure per-row scan (higher-order array fold, zero shuffle).
 
-Cache lifetime: minhash_lsh_pairs and ngram_jaccard_pairs .persist() their
-signature/shingle tables so the self-join's two sides (and the frequency
-cap / exact-intersection branches) hit one InMemoryRelation instead of
-re-scanning the corpus. The cache is deliberately left alive for the
-SparkSession (these tables ARE the materialized index a production corpus
-keeps hot; Spark evicts LRU under memory pressure). Long-lived shared
-sessions running many one-shot dedups should call
+Cache lifetime: ngram_jaccard_pairs .persist()s its shingle table — its
+plan genuinely consumes it on several branches (frequency cap, both
+self-join sides, exact-intersection verify). minhash_lsh_pairs does NOT:
+since the bucket-groupBy rewrite its whole derivation is one
+single-consumer subtree, where a persist costs a materialization pass
+and saves nothing. Caches are deliberately left alive for the
+SparkSession (these tables ARE the materialized index a production
+corpus keeps hot; Spark evicts LRU under memory pressure). Long-lived
+shared sessions running many one-shot dedups should call
 spark.catalog.clearCache() between ops (bench.py does).
 """
 
@@ -132,12 +134,15 @@ def minhash_lsh_pairs(
     mega-buckets — should be removed with exact_dedup FIRST, which keeps
     near-dup bucket sizes in the 10³-10⁵ range (≤ a few MB per row)."""
     rows_per_band = n_hashes // bands
-    # Signatures are one small row per doc but expensive to derive (the
-    # shingle explode + groupBy): persist them so downstream consumers
-    # (components re-deriving pairs, repeated actions) hit one
-    # InMemoryRelation instead of re-scanning the corpus (at web scale
-    # the signature table is the thing you materialize).
-    sig = minhash_signatures(docs, n_hashes, shingle_words).persist()
+    # The whole derivation is ONE plan subtree (signatures -> band
+    # explode -> bucket groupBy -> pair explode), and every in-repo
+    # consumer — including neardup_components since its edge reversal
+    # moved into the same explode — evaluates it exactly once per
+    # action, so no persist here: caching a single-consumer subtree
+    # costs a materialization pass and saves nothing. At web scale the
+    # signature table IS the thing you materialize — but explicitly, as
+    # a written table in the pipeline, not as an operator-local cache.
+    sig = minhash_signatures(docs, n_hashes, shingle_words)
     band_structs = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -239,14 +244,16 @@ def neardup_components(
 
     Iterative min-label propagation with POINTER JUMPING (the
     large-star/small-star family): every doc starts labeled with itself;
-    each round (1) pushes labels across edges and keeps the per-doc min,
-    then (2) replaces each doc's label by its label's own label. Step (2)
-    halves the remaining pointer depth, so convergence is O(log diameter)
-    rounds — a chain of n duplicates (boilerplate-heavy corpora) resolves
-    in ~log2(n) rounds instead of n. Each round is two bounded equi-joins +
-    one partial-agg groupBy; localCheckpoint() truncates the iterative
-    lineage so the plan does not grow per round. Docs with no candidate
-    pair are singleton components.
+    each iteration (1) pushes labels across edges and keeps the per-doc
+    min (two folds per materialized check — the count action, not the
+    fold, is the per-round fixed cost), then (2) replaces each doc's
+    label by its label's own label, twice. Step (2) quarters the
+    remaining pointer depth per iteration, so convergence is
+    O(log diameter) rounds — a chain of n duplicates (boilerplate-heavy
+    corpora) resolves in ~log2(n) folds instead of n.
+    localCheckpoint() truncates the iterative lineage so the plan does
+    not grow per round. Docs with no candidate pair are singleton
+    components.
 
     Raises RuntimeError if max_iter rounds did not converge (silently
     returning partially-propagated labels would produce WRONG components
@@ -264,16 +271,29 @@ def neardup_components(
     the cluster, survivor = the min doc itself.
     _rounds_out: optional list; the executed round count is appended
     (test/metrics hook)."""
-    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    # Both edge directions from ONE explode — a unionByName of the
+    # forward and reversed pair frames would put the (possibly
+    # expensive) candidate-pair derivation into the plan TWICE and
+    # evaluate it twice in round 1's job.
     # LAZY checkpoint: round 1's single job materializes the edge list
     # (and truncates its lineage for rounds 2+) — an eager checkpoint
     # here would spend one whole extra job on it. The initial labels need
     # no checkpoint at all: they are a bare projection of the doc ids,
     # consumed once inside round 1's plan.
     edges = (
-        edges.unionByName(
-            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.a", "e.b")
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -282,31 +302,39 @@ def neardup_components(
     )
     changed = -1
     rounds = 0
-    for _ in range(max_iter):
-        rounds += 1
-        prop = edges.join(labels, edges["a"] == labels["doc"]).select(
-            F.col("b").alias("doc"), "label", F.lit(None).alias("old")
-        )
-        # carry each doc's previous label through the min-fold so change
-        # detection is a filter on the SAME frame — no per-round
-        # compare-join (labels only ever decrease, so label < old <=> any
-        # change happened this round)
+    while rounds < max_iter:
+        # TWO propagation folds per convergence check (round 6): the
+        # count action — not the fold — is the per-round fixed cost
+        # (job launch + result round trip), so stacking two min-folds
+        # into one materialized plan halves the action count on deep
+        # graphs. Shallow graphs (the common case) pay at most one
+        # wasted fold, inside the same job. `old` carries the label
+        # from BEFORE both folds; labels only decrease, so
+        # label < old <=> something changed in EITHER fold, and a
+        # two-fold fixed point is a one-fold fixed point.
+        cur = labels.select("doc", "label", F.col("label").alias("old"))
+        for _f in range(2):
+            if rounds >= max_iter:
+                break
+            rounds += 1
+            prop = edges.join(cur, edges["a"] == cur["doc"]).select(
+                F.col("b").alias("doc"), "label", F.lit(None).alias("old")
+            )
+            cur = (
+                cur.unionByName(prop)
+                .groupBy("doc")
+                .agg(
+                    F.min("label").alias("label"),
+                    F.min("old").alias("old"),  # unique per doc
+                )
+            )
         # LAZY checkpoint + full-filter count: ONE Spark job both
         # materializes this round's labels (all partitions — no limit(),
         # which could truncate the checkpoint) and computes the change
         # count. The eager-checkpoint-then-count shape launched two jobs
         # per round, and per-round job launch overhead dominates the
         # loop's wall time on small-to-medium graphs.
-        hop = (
-            labels.select("doc", "label", F.col("label").alias("old"))
-            .unionByName(prop)
-            .groupBy("doc")
-            .agg(
-                F.min("label").alias("label"),
-                F.min("old").alias("old"),  # unique per doc
-            )
-            .localCheckpoint(eager=False)
-        )
+        hop = cur.localCheckpoint(eager=False)
         # Convergence check BEFORE the jump: a propagation fixed point is
         # fully converged (any cross-edge label difference would decrease
         # some min), so the final round — and every round of an
@@ -321,20 +349,29 @@ def neardup_components(
             continue
         # pointer jumping: label <- label(label). Every label is itself a
         # doc id, and a parent's label is ≤ its own id by the min-fold
-        # invariant, so one extra self-join halves the pointer depth.
-        parent = hop.select(
-            F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
-        )
-        labels = (
-            hop.join(parent, hop["label"] == parent["p_doc"], "left")
-            .select(
+        # invariant, so each self-join halves the pointer depth. Applied
+        # TWICE per iteration (matching the two folds sharing this job
+        # cadence): depth quarters per materialization, so a chain of n
+        # still resolves in O(log n) folds. Both jumps read the
+        # checkpointed `hop`; the second jump's inputs re-derive the
+        # first jump within the same job — duplicate compute of one
+        # bounded join against launching a second job, the right trade
+        # on any graph shallow enough to be re-derived (and deep tiers
+        # converge in strictly fewer materializations).
+        jumped = hop.drop("old")
+        for _j in range(2):
+            parent = jumped.select(
+                F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
+            )
+            jumped = jumped.join(
+                parent, jumped["label"] == parent["p_doc"], "left"
+            ).select(
                 "doc",
                 F.least(
                     F.col("label"), F.coalesce("p_label", "label")
                 ).alias("label"),
             )
-            .localCheckpoint()
-        )
+        labels = jumped.localCheckpoint()
     if changed != 0:
         raise RuntimeError(
             f"neardup_components did not converge in {max_iter} rounds — "
