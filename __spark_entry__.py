@@ -319,12 +319,16 @@ def q_netcdf_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """netCDF source loader (reference sits_bridge.py:115-145
     load_sits_netcdf) through the DISTRIBUTED directory path: the events
     table is aggregated to a per-(event_type, user, day) daily-mean cube,
-    written at query time as one classic-format granule per event_type
-    with the dependency-free writer (sources/netcdf3.py — CF time units,
-    NaN gaps), then loaded back via sources/loaders.load_netcdf_dir
-    (binaryFile → executor-side pure-numpy parse → long melt). The
-    oracle computes the same daily means straight from parquet, so the
-    whole write→parse→melt round trip must be value-exact."""
+    written at query time as one granule per event_type with the
+    dependency-free writers — the FIRST event_type as a real NetCDF-4
+    (HDF5) file (sources/hdf5.py: dimension scales, DIMENSION_LIST
+    global-heap references; round 6), the rest as classic CDF-1
+    (sources/netcdf3.py) — then loaded back via
+    sources/loaders.load_netcdf_dir, whose per-file magic dispatch
+    parses the MIXED directory on executors (binaryFile → pure-numpy
+    parse → long melt). The oracle computes the same daily means
+    straight from parquet, so both parsers' write→parse→melt round
+    trips must be value-exact in one row."""
     import hashlib
     import os
     import shutil
@@ -357,23 +361,40 @@ def q_netcdf_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = f"/tmp/fusets_nc_{tag}"
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
+    first_et = sorted(daily["event_type"].unique())[0]
     for et, g in daily.groupby("event_type"):
         cube = np.full((len(days), len(users)), np.nan)
         cube[
             [di[d] for d in g["day"]], [ui[u] for u in g["user_id"]]
         ] = g["v"].to_numpy()
-        buf = write_netcdf3(
-            {"time": None, "series": len(users)},
-            [
-                NcVar(
-                    "time", ("time",),
-                    np.arange(len(days), dtype=">i4"),
-                    {"units": f"days since {days[0].date()}"},
-                ),
-                NcVar("series", ("series",), users.astype(">i4")),
-                NcVar("value", ("time", "series"), cube.astype(">f8")),
-            ],
-        )
+        if et == first_et:
+            from fusets_spark.sources.hdf5 import write_netcdf4
+
+            buf = write_netcdf4(
+                {"time": None, "series": len(users)},
+                [
+                    NcVar(
+                        "time", ("time",),
+                        np.arange(len(days), dtype=np.int32),
+                        {"units": f"days since {days[0].date()}"},
+                    ),
+                    NcVar("series", ("series",), users.astype(np.int32)),
+                    NcVar("value", ("time", "series"), cube),
+                ],
+            )
+        else:
+            buf = write_netcdf3(
+                {"time": None, "series": len(users)},
+                [
+                    NcVar(
+                        "time", ("time",),
+                        np.arange(len(days), dtype=">i4"),
+                        {"units": f"days since {days[0].date()}"},
+                    ),
+                    NcVar("series", ("series",), users.astype(">i4")),
+                    NcVar("value", ("time", "series"), cube.astype(">f8")),
+                ],
+            )
         with open(os.path.join(root, f"{et}.nc"), "wb") as f:
             f.write(buf)
     out = load_netcdf_dir(spark, root)

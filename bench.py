@@ -262,6 +262,27 @@ def _tree_pids() -> list[int]:
     return [p for p in ppid if in_tree(p)]
 
 
+def _cpu_by_pid() -> dict[int, float]:
+    """Per-PID CPU-seconds (utime+stime) for the process tree. Deltas
+    summed per surviving/new pid (max(0, now-then)) are never negative
+    across worker restarts, unlike tree-total deltas — the scale bench's
+    stage CPU uses this (lower bound: CPU of workers that exit inside
+    the window is lost either way)."""
+    out: dict[int, float] = {}
+    try:
+        tck = os.sysconf("SC_CLK_TCK")
+        for p in _tree_pids():
+            try:
+                with open(f"/proc/{p}/stat") as f:
+                    rest = f.read().rsplit(")", 1)[1].split()
+                out[p] = (int(rest[11]) + int(rest[12])) / tck
+            except OSError:
+                continue
+    except Exception:
+        pass
+    return out
+
+
 def _tree_cpu_sec() -> float | None:
     """Total CPU-seconds (utime+stime from /proc/<pid>/stat) of this
     process and every live descendant — the JVM plus its pyspark Python

@@ -7,18 +7,22 @@ strip-organized, chunky planar layout — is a small public format
 (header + IFD tag directory + raw strips) that numpy parses directly,
 the same approach as the BMP pixel decoder (`operators/multimodal.py`)
 and the classic-netCDF parser (`sources/netcdf3.py`). Real byte-level
-decoding with an explicit gate for compressed/tiled variants.
+decoding with an explicit gate for exotic variants.
 
 Supported: II and MM byte orders, multi-IFD (multi-page) files, u8/u16/
 u32/i8/i16/i32/f32/f64 samples, multi-sample chunky pixels, multi-strip
-data, DEFLATE-compressed strips (Compression 8 "Adobe deflate" and the
-legacy 32946 code; zlib is stdlib) with horizontal differencing
-(Predictor 2) on integer samples, and the GeoTIFF georeferencing tags
-(ModelPixelScale 33550, ModelTiepoint 33922, GDAL nodata 42113) → an
-affine geotransform.
-Gated (clear NotImplementedError): other compressions (LZW/JPEG/
-PackBits/ZSTD…), the floating-point Predictor 3, tiled layout, and
-planar configuration 2.
+data, the TILED layout (tags 322-325, full-size zero-padded edge tiles,
+row-major tile order), DEFLATE-compressed strips AND tiles
+(Compression 8 "Adobe deflate" and the legacy 32946 code; zlib is
+stdlib), TIFF-variant LZW (Compression 5 — spec §13 early-change
+codec in pure Python, pinned to the spec's own worked example) with
+horizontal differencing (Predictor 2) on integer samples —
+scoped per decode unit, i.e. per tile in tiled files — and the GeoTIFF
+georeferencing tags (ModelPixelScale 33550, ModelTiepoint 33922, GDAL
+nodata 42113) → an affine geotransform.
+Gated (clear NotImplementedError): other compressions (JPEG/
+PackBits/ZSTD…), the floating-point Predictor 3, and planar
+configuration 2.
 
 Scale path: `sources.loaders.load_sits_geotiff` explodes raster pixels
 to long rows ON EXECUTORS (binaryFile + mapInPandas), one granule per
@@ -44,6 +48,105 @@ T_PREDICTOR = 317
 T_PIXEL_SCALE, T_TIEPOINT, T_NODATA = 33550, 33922, 42113
 
 _DEFLATE_CODES = (8, 32946)  # Adobe deflate + the legacy COMPRESSION_DEFLATE
+_LZW_CODE = 5
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first variable-width codes
+    starting at 9 bits, Clear=256 / EOI=257, and the TIFF "early change"
+    (the code width grows when the table reaches 2^w − 1, one code
+    earlier than vanilla LZW). Pure Python — roughly MB/s-scale, so fine
+    for granule ingest (one raster per executor task) but not a bulk
+    codec; `gdal_translate -co COMPRESS=DEFLATE` remains the fast path."""
+    out = bytearray()
+    nbits = len(data) * 8
+    bitpos = 0
+    width = 9
+    # 256 literals + two placeholders holding the Clear/EOI slots
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: int | None = None
+    while True:
+        if bitpos + width > nbits:
+            break  # truncated stream: treat like EOI (libtiff tolerates)
+        b0 = bitpos >> 3
+        chunk = int.from_bytes(data[b0 : b0 + 4].ljust(4, b"\x00"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError("LZW stream starts with a table code")
+            out += table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # the KwKwK case
+                entry = table[prev] + table[prev][:1]
+            else:
+                raise ValueError(f"LZW code {code} beyond table")
+            out += entry
+            table.append(table[prev] + entry[:1])
+        prev = code
+        # TIFF early change (spec §13 decoder pseudocode): switch at
+        # NextCode 510/1022/2046 = 2^w − 2 — one entry BEFORE the
+        # encoder's 511/1023/2047, because the decoder's table lags the
+        # encoder's by exactly one entry (it cannot build the entry for
+        # the latest code until the next one arrives).
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (fixture generator): emits Clear first,
+    resets the table before it would overflow the 12-bit code space, and
+    mirrors the decoder's early-change width schedule."""
+    bits: list[tuple[int, int]] = []  # (code, width)
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    bits.append((_LZW_CLEAR, width))
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        bits.append((table[w], width))
+        if next_code >= 4093:
+            bits.append((_LZW_CLEAR, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        else:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        w = bytes([ch])
+    if w:
+        bits.append((table[w], width))
+    bits.append((_LZW_EOI, width))
+    acc = 0
+    nacc = 0
+    out = bytearray()
+    for code, cw in bits:
+        acc = (acc << cw) | code
+        nacc += cw
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
 
 
 @dataclass
@@ -120,15 +223,15 @@ def read_tiff(buf: bytes) -> list[TiffPage]:
         (ifd_off,) = struct.unpack_from(bo + "I", buf, ifd_off + 2 + 12 * n_tags)
 
         compression = int(tags.get(T_COMPRESSION, 1))
-        if compression != 1 and compression not in _DEFLATE_CODES:
+        if compression != 1 and compression not in _DEFLATE_CODES and (
+            compression != _LZW_CODE
+        ):
             raise NotImplementedError(
                 f"TIFF compression {compression} — only baseline "
-                "uncompressed and DEFLATE (8/32946) rasters decode "
-                "without raster libraries (convert with "
+                "uncompressed, DEFLATE (8/32946) and LZW (5) rasters "
+                "decode without raster libraries (convert with "
                 "`gdal_translate -co COMPRESS=DEFLATE` offline)"
             )
-        if 322 in tags or 323 in tags:  # TileWidth/TileLength
-            raise NotImplementedError("tiled TIFF layout unsupported")
         if tags.get(T_PLANAR, 1) != 1:
             raise NotImplementedError("planar configuration 2 unsupported")
 
@@ -147,45 +250,76 @@ def read_tiff(buf: bytes) -> list[TiffPage]:
             )
         dtype = np.dtype(f"{bo}{kind}{bits // 8}")
 
-        offs = tags[T_STRIP_OFFSETS]
-        cnts = tags[T_STRIP_COUNTS]
-        offs = offs if isinstance(offs, tuple) else (offs,)
-        cnts = cnts if isinstance(cnts, tuple) else (cnts,)
-        if compression in _DEFLATE_CODES:
-            import zlib
-
-            # strips are independently deflated zlib streams
-            raw = b"".join(
-                zlib.decompress(buf[o : o + c])
-                for o, c in zip(offs, cnts)
-            )
-        else:
-            raw = b"".join(buf[o : o + c] for o, c in zip(offs, cnts))
-        data = np.frombuffer(raw, dtype=dtype, count=h * w * spp)
-        data = data.reshape((h, w) if spp == 1 else (h, w, spp))
-
         predictor = int(tags.get(T_PREDICTOR, 1))
-        if predictor == 2:
+        if predictor == 3 or (predictor == 2 and kind == "f"):
+            raise NotImplementedError(
+                "TIFF Predictor 3 (floating point) unsupported"
+            )
+        if predictor not in (1, 2):
+            raise NotImplementedError(f"TIFF predictor {predictor}")
+
+        def _unpredict(arr: "np.ndarray") -> "np.ndarray":
             # horizontal differencing: stored[x] = cur[x] - cur[x-1]
             # (mod 2^bits) per row and sample channel; reconstruction is
             # a wrapping cumulative sum over the width axis on the
             # UNSIGNED view of the decoded samples (the spec defines the
-            # difference on the sample's bit pattern)
-            if kind == "f":
-                raise NotImplementedError(
-                    "TIFF Predictor 3 (floating point) unsupported"
-                )
+            # difference on the sample's bit pattern). Differencing is
+            # scoped to the decode unit — rows never cross strips, and
+            # TILES difference their own rows independently, which is
+            # why this applies per tile before assembly.
+            if predictor != 2:
+                return arr
             u = np.dtype(f"u{bits // 8}")
             acc = np.add.accumulate(
-                data.astype(data.dtype.newbyteorder("=")).view(u),
+                arr.astype(arr.dtype.newbyteorder("=")).view(u),
                 axis=1,
                 dtype=u,
             )
-            data = acc.view(f"{kind}{bits // 8}")
-        elif predictor == 3:
-            raise NotImplementedError(
-                "TIFF Predictor 3 (floating point) unsupported"
-            )
+            return acc.view(f"{kind}{bits // 8}")
+
+        def _chunk(off: int, cnt: int) -> bytes:
+            if compression in _DEFLATE_CODES:
+                import zlib
+
+                # strips/tiles are independently deflated zlib streams
+                return zlib.decompress(buf[off : off + cnt])
+            if compression == _LZW_CODE:
+                # independently LZW-coded strips/tiles (spec §13)
+                return lzw_decode(buf[off : off + cnt])
+            return buf[off : off + cnt]
+
+        def _tup(v) -> tuple:
+            return v if isinstance(v, tuple) else (v,)
+
+        if 322 in tags or 323 in tags:  # tiled layout
+            if 324 not in tags or 325 not in tags:
+                raise ValueError("tiled TIFF missing TileOffsets/ByteCounts")
+            tw, tl = int(tags[322]), int(tags[323])
+            offs, cnts = _tup(tags[324]), _tup(tags[325])
+            across, down = -(-w // tw), -(-h // tl)
+            if len(offs) != across * down:
+                raise NotImplementedError(
+                    f"{len(offs)} tiles for a {across}x{down} grid "
+                    "(planar/multi-page tile sets unsupported)"
+                )
+            canvas = np.zeros((down * tl, across * tw, spp), dtype=dtype)
+            for i, (o, c) in enumerate(zip(offs, cnts)):
+                tile = np.frombuffer(
+                    _chunk(o, c), dtype=dtype, count=tl * tw * spp
+                ).reshape(tl, tw, spp)
+                tile = _unpredict(tile)
+                r, cx = divmod(i, across)
+                canvas[r * tl : (r + 1) * tl, cx * tw : (cx + 1) * tw] = tile
+            # edge tiles are written FULL-SIZE and cropped on read
+            data = canvas[:h, :w]
+            data = data[:, :, 0] if spp == 1 else data
+        else:
+            offs = _tup(tags[T_STRIP_OFFSETS])
+            cnts = _tup(tags[T_STRIP_COUNTS])
+            raw = b"".join(_chunk(o, c) for o, c in zip(offs, cnts))
+            data = np.frombuffer(raw, dtype=dtype, count=h * w * spp)
+            data = data.reshape((h, w) if spp == 1 else (h, w, spp))
+            data = _unpredict(data)
 
         nodata = tags.get(T_NODATA)
         pages.append(
@@ -210,13 +344,17 @@ def write_tiff(
     compress: str | None = None,
     predictor: int = 1,
     rows_per_strip: int | None = None,
+    tile: tuple | None = None,
 ) -> bytes:
     """Minimal single-page little-endian TIFF — fixture generator for
     tests and offline conversion checks. compress='deflate' produces
-    Compression=8 strips (independent zlib streams, `rows_per_strip`
+    Compression=8 chunks (independent zlib streams, `rows_per_strip`
     rows each); predictor=2 applies horizontal differencing on integer
     samples before compression (the layout GDAL's
-    `-co COMPRESS=DEFLATE -co PREDICTOR=2` emits)."""
+    `-co COMPRESS=DEFLATE -co PREDICTOR=2` emits). tile=(tw, tl)
+    switches from strips to the TILED layout (tags 322-325): full-size
+    zero-padded edge tiles, row-major tile order, differencing scoped
+    per tile — GDAL's `-co TILED=YES` shape."""
     data = np.asarray(data)
     if data.ndim == 2:
         h, w = data.shape
@@ -226,33 +364,55 @@ def write_tiff(
     kind = data.dtype.kind
     fmt = {"u": 1, "i": 2, "f": 3}[kind]
     bits = data.dtype.itemsize * 8
-    if compress not in (None, "deflate"):
+    if compress not in (None, "deflate", "lzw"):
         raise NotImplementedError(f"write compression {compress!r}")
     if predictor not in (1, 2):
         raise NotImplementedError(f"write predictor {predictor}")
     native = data.astype(f"<{kind}{data.dtype.itemsize}")
-    if predictor == 2:
-        if kind == "f":
-            raise NotImplementedError(
-                "Predictor 2 is integer-only (3 would be the float one)"
-            )
+    if predictor == 2 and kind == "f":
+        raise NotImplementedError(
+            "Predictor 2 is integer-only (3 would be the float one)"
+        )
+
+    def _diff(arr: np.ndarray) -> np.ndarray:
+        if predictor != 2:
+            return arr
         u = np.dtype(f"<u{data.dtype.itemsize}")
-        uv = native.view(u)
-        diff = uv.copy()
-        if data.ndim == 2:
-            diff[:, 1:] = uv[:, 1:] - uv[:, :-1]
-        else:
-            diff[:, 1:, :] = uv[:, 1:, :] - uv[:, :-1, :]
-        native = diff.view(native.dtype)
-    rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
-    strips: list[bytes] = []
-    for r0 in range(0, h, rps):
-        chunk = native[r0 : r0 + rps].tobytes()
+        uv = arr.view(u)
+        d = uv.copy()
+        d[:, 1:] = uv[:, 1:] - uv[:, :-1]
+        return d.view(arr.dtype)
+
+    def _pack(arr: np.ndarray) -> bytes:
+        chunk = arr.tobytes()
         if compress == "deflate":
             import zlib
 
             chunk = zlib.compress(chunk)
-        strips.append(chunk)
+        elif compress == "lzw":
+            chunk = lzw_encode(chunk)
+        return chunk
+
+    if tile is not None:
+        # tiled layout: full-size zero-padded tiles, row-major order,
+        # predictor differencing scoped per tile (matching the reader)
+        tw, tl = int(tile[0]), int(tile[1])
+        across, down = -(-w // tw), -(-h // tl)
+        pad_shape = (down * tl, across * tw) + (
+            (spp,) if data.ndim == 3 else ()
+        )
+        padded = np.zeros(pad_shape, dtype=native.dtype)
+        padded[:h, :w] = native
+        strips = [
+            _pack(_diff(padded[r * tl : (r + 1) * tl, c * tw : (c + 1) * tw]))
+            for r in range(down)
+            for c in range(across)
+        ]
+        rps = None
+    else:
+        rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
+        diffed = _diff(native)
+        strips = [_pack(diffed[r0 : r0 + rps]) for r0 in range(0, h, rps)]
     pix = b"".join(strips)
 
     strip_off = 8
@@ -286,12 +446,21 @@ def write_tiff(
     tag(T_WIDTH, 4, [w], "I")
     tag(T_HEIGHT, 4, [h], "I")
     tag(T_BITS, 3, [bits] * spp, "H")
-    tag(T_COMPRESSION, 3, [8 if compress == "deflate" else 1], "H")
+    tag(
+        T_COMPRESSION, 3,
+        [{None: 1, "deflate": 8, "lzw": _LZW_CODE}[compress]], "H",
+    )
     tag(262, 3, [1], "H")  # BlackIsZero
-    tag(T_STRIP_OFFSETS, 4, strip_offs, "I")
+    if tile is not None:
+        tag(322, 3, [tw], "H")  # TileWidth
+        tag(323, 3, [tl], "H")  # TileLength
+        tag(324, 4, strip_offs, "I")  # TileOffsets
+        tag(325, 4, [len(s) for s in strips], "I")  # TileByteCounts
+    else:
+        tag(T_STRIP_OFFSETS, 4, strip_offs, "I")
+        tag(T_ROWS_PER_STRIP, 4, [rps], "I")
+        tag(T_STRIP_COUNTS, 4, [len(s) for s in strips], "I")
     tag(T_SPP, 3, [spp], "H")
-    tag(T_ROWS_PER_STRIP, 4, [rps], "I")
-    tag(T_STRIP_COUNTS, 4, [len(s) for s in strips], "I")
     tag(T_PLANAR, 3, [1], "H")
     tag(T_SAMPLE_FORMAT, 3, [fmt] * spp, "H")
     if predictor == 2:

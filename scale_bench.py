@@ -118,7 +118,7 @@ def main() -> None:
     # OOMs in parquet read/write at 32 concurrent tasks over the 10x
     # corpus, which a multi-JVM cluster would never see.
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
-    from bench import _noop_write, _tree_cpu_sec
+    from bench import _cpu_by_pid, _noop_write, _tree_cpu_sec
 
     from fusets_spark.datagen import generate_tokens
     from fusets_spark.operators.ingest import ingest_from_tokens
@@ -199,14 +199,20 @@ def main() -> None:
             stages: dict[str, float] = {}
 
             def timed(name, fn):
-                c0, s0 = _tree_cpu_sec(), time.monotonic()
+                c0, s0 = _cpu_by_pid(), time.monotonic()
                 fn()
                 stages[name] = round(time.monotonic() - s0, 1)
-                # CPU of workers that exit mid-window is lost, so the
-                # delta can come out negative across a worker restart —
-                # record None rather than a nonsense number
-                dc = _tree_cpu_sec() - c0
-                stages[name + "_cpu"] = round(dc, 1) if dc >= 0 else None
+                # Per-PID delta, not tree-total delta: pyspark workers
+                # from the PREVIOUS stage exit mid-window and take their
+                # accumulated CPU with them, driving a tree-total delta
+                # NEGATIVE (round-5 artifact: commit_main_cpu null at
+                # both levels). Summing max(0, now - then) per surviving
+                # or new pid is never negative; CPU of workers that exit
+                # WITHIN the window is still lost, so this is a lower
+                # bound — fine for the "wall moved, CPU didn't" check.
+                c1 = _cpu_by_pid()
+                dc = sum(max(0.0, v - c0.get(p, 0.0)) for p, v in c1.items())
+                stages[name + "_cpu"] = round(dc, 1)
 
             timed("commit_main", lambda: pipe.process_batch(toks, "b1"))
             timed("commit_late", lambda: pipe.process_batch(late, "b2"))
