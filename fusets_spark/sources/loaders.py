@@ -173,9 +173,10 @@ def load_sits_netcdf(spark: SparkSession, path: str) -> DataFrame:
 
     Uses xarray when installed (any netCDF variant); otherwise falls back
     to the dependency-free parsers — classic CDF-1/2 via
-    sources/netcdf3.py, NetCDF-4 (HDF5 container, contiguous uncompressed
-    layouts) via sources/hdf5.py — real byte-level decoding, not a stub.
-    Compressed/chunked NetCDF-4 remains gated without libhdf5 (clear
+    sources/netcdf3.py, NetCDF-4 (HDF5 container, incl. the chunked
+    deflate/shuffle layouts libnetcdf writes by default) via
+    sources/hdf5.py — real byte-level decoding, not a stub. szip and
+    exotic filters remain gated without libhdf5 (clear
     NotImplementedError from the parser)."""
     try:
         import xarray as xr
@@ -197,7 +198,7 @@ def load_netcdf_dir(spark: SparkSession, path: str) -> DataFrame:
     executor (Spark's binaryFile source ships the bytes; a mapInPandas
     batch runs the pure-numpy parser), so ingest parallelism is
     file-count bound exactly like the production parquet path. Classic
-    CDF-1/2 and simple NetCDF-4 (contiguous uncompressed HDF5) granules
+    CDF-1/2 and NetCDF-4 (HDF5; contiguous or chunked-compressed) granules
     both parse — magic-dispatched per file, so mixed directories work.
     The output schema is probed from one file on the driver; every file
     must share it (the multi-granule SITS layout). Adds `src_file`

@@ -9,8 +9,9 @@ and interleaved record data — which numpy parses directly, the same way
 `operators/multimodal.py` decodes BMP without image libraries. The
 format work here is real, not stubbed; NetCDF-4 files (an HDF5
 container, magic ``\\x89HDF``) route through read_netcdf_auto to the
-minimal HDF5 parser in sources/hdf5.py (contiguous uncompressed
-layouts; chunked/compressed remain gated with a clear error).
+minimal HDF5 parser in sources/hdf5.py (contiguous, compact, and
+chunked layouts incl. deflate/shuffle compression; szip and exotic
+filters remain gated with a clear error).
 
 Format reference: Unidata's "NetCDF Classic Format Specification"
 (public; the canonical grammar this module follows). Supported: CDF-1
@@ -120,7 +121,7 @@ def read_netcdf3(buf: bytes) -> dict:
         raise NotImplementedError(
             "NetCDF-4 file (HDF5 container) — this is the classic-format "
             "parser; use sources.hdf5.read_netcdf4 / read_netcdf_auto "
-            "(contiguous uncompressed NetCDF-4 layouts) or convert with "
+            "(incl. chunked deflate/shuffle NetCDF-4) or convert with "
             "`nccopy -k classic` offline"
         )
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
@@ -391,7 +392,7 @@ def decode_cf_time(vals: np.ndarray, units: str):
 
 def read_netcdf_auto(buf: bytes) -> dict:
     """Magic-dispatched netCDF parse: classic CDF-1/2 via read_netcdf3,
-    NetCDF-4 (HDF5 container, contiguous uncompressed layouts) via
+    NetCDF-4 (HDF5 container, incl. chunked deflate/shuffle) via
     sources/hdf5.read_netcdf4. Both return the same dict contract, so
     loaders built on it ingest either format transparently."""
     if buf[:4] == b"\x89HDF":

@@ -89,19 +89,25 @@ def test_phenometrics_single_scan_single_exchange(spark):
 
 
 def test_dedup_reuses_materialized_intermediates(spark):
-    """The signature/shingle tables feed many plan branches: they must be
-    persisted (InMemoryTableScan) so join sides reuse one computation, and
-    the banded/near-dup stacking must be an explode, not a per-band union
-    that re-scans the corpus."""
+    """Plan-shape contract per operator (round 6): ngram_jaccard's
+    shingle table feeds several branches (cap, both join sides, exact
+    verify) and must be persisted (InMemoryTableScan); minhash_lsh is
+    the opposite — since the bucket-groupBy rewrite it is ONE
+    single-consumer subtree, so it must scan the corpus exactly once
+    and carry NO cache (a persist there is a pure extra
+    materialization pass); banded/near-dup stacking must be an explode,
+    not a per-band union that re-scans the corpus."""
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", "/root/repo/__spark_entry__.py"
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard"):
-        plan = _plan(mod.queries()[name](spark, SF))
-        assert "InMemoryTableScan" in plan, f"{name}: intermediate not cached"
+    plan = _plan(mod.queries()["dedup_ngram_jaccard"](spark, SF))
+    assert "InMemoryTableScan" in plan, "ngram: shingles not cached"
+    plan = _plan(mod.queries()["dedup_minhash_lsh"](spark, SF))
+    assert "InMemoryTableScan" not in plan, "minhash: needless cache"
+    assert plan.count("FileScan parquet") == 1, "minhash re-scans corpus"
     plan = _plan(mod.queries()["embedding_neardup"](spark, SF))
     # two join sides only — the per-table union shape had 2·n_tables scans
     assert plan.count("FileScan parquet") <= 2, "neardup re-scans per table"

@@ -81,15 +81,15 @@ def test_netcdf_gated(spark, tmp_path):
     p.write_bytes(buf)
     out = load_sits_netcdf(spark, str(p)).toPandas()
     assert sorted(out["value"]) == [1.0, 2.0, 3.0]
-    # chunked (= compressed) layouts stay gated: flip the contiguous
-    # layout message's class byte
+    # exotic layouts stay gated: flip the contiguous layout message's
+    # class byte to an unknown class
     marker = b"\x08\x00\x18\x00\x00\x00\x00\x00\x03\x01"
-    chunked = bytearray(buf)
-    pos = chunked.index(marker)
-    chunked[pos + 9] = 2
-    p2 = tmp_path / "v4_chunked.nc"
-    p2.write_bytes(bytes(chunked))
-    with pytest.raises(NotImplementedError, match="chunked"):
+    weird = bytearray(buf)
+    pos = weird.index(marker)
+    weird[pos + 9] = 4
+    p2 = tmp_path / "v4_weird.nc"
+    p2.write_bytes(bytes(weird))
+    with pytest.raises(NotImplementedError, match="layout class"):
         load_sits_netcdf(spark, str(p2))
 
 
@@ -685,14 +685,34 @@ def test_netcdf4_gates_are_clear():
     v1[8] = 1
     with _pytest.raises(NotImplementedError, match="superblock version 1"):
         read_hdf5(bytes(v1))
-    # flip a contiguous layout message (class byte 1 -> 2 = chunked);
-    # the padded v1 message is type=8, size=24, then body 03 01 ...
+    # flip a contiguous layout message's class byte to an unknown
+    # class; the padded v1 message is type=8, size=24, then body 03 01
     marker = b"\x08\x00\x18\x00\x00\x00\x00\x00\x03\x01"
     pos = buf.index(marker)
-    chunked = bytearray(buf)
-    chunked[pos + 9] = 2
-    with _pytest.raises(NotImplementedError, match="chunked"):
-        read_hdf5(bytes(chunked))
+    weird = bytearray(buf)
+    weird[pos + 9] = 4
+    with _pytest.raises(NotImplementedError, match="layout class"):
+        read_hdf5(bytes(weird))
+    # unsupported FILTERS stay gated: write a chunked+deflate var and
+    # flip the pipeline's filter id to 4 (szip)
+    import struct as _struct
+
+    from fusets_spark.sources.hdf5 import write_netcdf4 as _w
+
+    cbuf = _w(
+        {"t": None},
+        [
+            NcVar("t", ("t",), np.arange(6, dtype=np.int32)),
+            NcVar("v", ("t",), np.arange(6) * 1.5),
+        ],
+        chunked={"v": {"chunks": (4,), "deflate": True}},
+    )
+    fmark = _struct.pack("<HHHH", 1, 0, 0, 1) + _struct.pack("<I", 6)
+    fpos = cbuf.index(fmark)
+    szip = bytearray(cbuf)
+    szip[fpos] = 4
+    with _pytest.raises(NotImplementedError, match="filter 4"):
+        read_hdf5(bytes(szip))
 
 
 def test_hdf5_v2_superblock_ohdr_golden():
@@ -908,3 +928,56 @@ def test_geotiff_lzw_roundtrip():
     arr8 = rng.integers(0, 255, size=(6, 8)).astype(np.uint8)
     p = read_tiff(write_tiff(arr8, compress="lzw", tile=(4, 4)))[0]
     np.testing.assert_array_equal(np.asarray(p.data), arr8)
+
+
+def test_netcdf4_chunked_compressed_roundtrip():
+    """CHUNKED layout with the standard netCDF-4 compression stack
+    (shuffle byte-transpose + zlib per chunk, v1 chunk B-tree, full-size
+    fill-padded edge chunks) — what `nc_def_var_deflate` produces, and
+    what every unlimited-dimension variable uses. Value-exact through
+    ragged edges, NaN gaps, shuffle on/off, and int/float dtypes."""
+    import numpy as np
+
+    from fusets_spark.sources.hdf5 import read_netcdf4, write_netcdf4
+    from fusets_spark.sources.netcdf3 import NcVar
+
+    rng = np.random.default_rng(17)
+    time = np.arange(13, dtype=np.int32)
+    series = np.arange(6, dtype=np.int32) + 100
+    cube = rng.normal(size=(13, 6))
+    cube[5, 1] = np.nan
+    for spec in (
+        {"chunks": (4, 4), "shuffle": True, "deflate": True},
+        {"chunks": (13, 6), "deflate": True},  # single chunk
+        {"chunks": (1, 6), "shuffle": True},  # shuffle only, per-row
+    ):
+        buf = write_netcdf4(
+            {"time": None, "series": 6},
+            [
+                NcVar("time", ("time",), time,
+                      {"units": "days since 2024-05-01"}),
+                NcVar("series", ("series",), series),
+                NcVar("value", ("time", "series"), cube),
+            ],
+            chunked={"value": dict(spec)},
+        )
+        parsed = read_netcdf4(buf)
+        np.testing.assert_array_equal(parsed["vars"]["value"].data, cube)
+        assert parsed["vars"]["time"].attrs["units"].startswith("days")
+    # compression actually engages: a compressible cube shrinks the file
+    flat = np.zeros((64, 64))
+    small = write_netcdf4(
+        {"a": 64, "b": 64},
+        [NcVar("a", ("a",), np.arange(64, dtype=np.int32)),
+         NcVar("b", ("b",), np.arange(64, dtype=np.int32)),
+         NcVar("v", ("a", "b"), flat)],
+        chunked={"v": {"chunks": (32, 32), "shuffle": True,
+                       "deflate": True}},
+    )
+    big = write_netcdf4(
+        {"a": 64, "b": 64},
+        [NcVar("a", ("a",), np.arange(64, dtype=np.int32)),
+         NcVar("b", ("b",), np.arange(64, dtype=np.int32)),
+         NcVar("v", ("a", "b"), flat)],
+    )
+    assert len(small) < len(big) / 4
