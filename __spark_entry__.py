@@ -873,7 +873,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fusets_spark.operators.dedup import minhash_lsh_pairs, neardup_components
 
     docs = _t(spark, sf_dir, "documents")
-    return neardup_components(docs, minhash_lsh_pairs(docs))
+    # distinct=False: neardup_components distincts its bidirectional edge
+    # list, so pair-level dedup here would be a pure extra shuffle stage.
+    return neardup_components(docs, minhash_lsh_pairs(docs, distinct=False))
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1638,11 +1640,17 @@ WITH w AS (
          words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS shingle
   FROM sh0
 ), sig AS (
+  -- four 8-hex-char sub-hashes per md5 (fixed width: string min ==
+  -- numeric min), mirroring minhash_signatures' two-digest scheme
   SELECT doc_id,
-         min(md5(shingle || ':0')) AS mh0, min(md5(shingle || ':1')) AS mh1,
-         min(md5(shingle || ':2')) AS mh2, min(md5(shingle || ':3')) AS mh3,
-         min(md5(shingle || ':4')) AS mh4, min(md5(shingle || ':5')) AS mh5,
-         min(md5(shingle || ':6')) AS mh6, min(md5(shingle || ':7')) AS mh7
+         min(substring(md5(shingle || ':0'),  1, 8)) AS mh0,
+         min(substring(md5(shingle || ':0'),  9, 8)) AS mh1,
+         min(substring(md5(shingle || ':0'), 17, 8)) AS mh2,
+         min(substring(md5(shingle || ':0'), 25, 8)) AS mh3,
+         min(substring(md5(shingle || ':1'),  1, 8)) AS mh4,
+         min(substring(md5(shingle || ':1'),  9, 8)) AS mh5,
+         min(substring(md5(shingle || ':1'), 17, 8)) AS mh6,
+         min(substring(md5(shingle || ':1'), 25, 8)) AS mh7
   FROM sh GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, 0 AS band_no, md5(mh0 || '|' || mh1) AS bkey FROM sig

@@ -86,14 +86,23 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = 8, shingle_words: int = 3
 ) -> DataFrame:
-    """MinHash signature per doc: h_i = min over shingles of
-    md5(shingle || ':' || i) — string min, portable across engines.
-    min() is duplicate-insensitive, so the shingle stream skips the
-    distinct shuffle (one partial-aggregated row per doc crosses the
+    """MinHash signature per doc: FOUR sub-hashes per md5 — hash i is
+    min over shingles of substr(md5(shingle || ':' || i//4), 8*(i%4)+1, 8).
+    One 128-bit md5 yields four independent 32-bit (8-hex-char, fixed
+    width, so string min == numeric min) hash families, quartering the
+    digest count on the hot shingle stream vs one-md5-per-hash — the
+    dominant CPU of signature building at corpus scale. The formula is
+    portable (md5 + substring exist in every engine, incl. the DuckDB
+    oracle). min() is duplicate-insensitive, so the shingle stream skips
+    the distinct shuffle (one partial-aggregated row per doc crosses the
     wire, not every shingle occurrence)."""
     sh = _doc_shingles(docs, shingle_words, distinct=False)
+    digests = {
+        j: F.md5(F.concat_ws(":", F.col("shingle"), F.lit(str(j))))
+        for j in range((n_hashes + 3) // 4)
+    }
     aggs = [
-        F.min(F.md5(F.concat_ws(":", F.col("shingle"), F.lit(str(i))))).alias(
+        F.min(F.substring(digests[i // 4], 8 * (i % 4) + 1, 8)).alias(
             f"mh{i}"
         )
         for i in range(n_hashes)
@@ -107,6 +116,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_words: int = 3,
     max_bucket_size: int = 64,
+    distinct: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ANY LSH band (band key =
     md5 of the band's concatenated minhashes). Self-join per band, a < b.
@@ -169,17 +179,18 @@ def minhash_lsh_pairs(
         "transform(slice(ds, 2, size(ds)), "
         "y -> struct(ds[0] as doc_a, y as doc_b))"
     )
-    return (
-        buckets.select(
-            F.explode(
-                F.when(F.size("ds") <= max_bucket_size, all_pairs).otherwise(
-                    star_pairs
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    out = buckets.select(
+        F.explode(
+            F.when(F.size("ds") <= max_bucket_size, all_pairs).otherwise(
+                star_pairs
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    # distinct=False skips the cross-band dedup SHUFFLE for consumers that
+    # are duplicate-insensitive downstream — neardup_components distincts
+    # its (bidirectional) edge list anyway, so the pair-level distinct
+    # there is a pure extra stage (≤ `bands`× duplication in between).
+    return out.distinct() if distinct else out
 
 
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
@@ -303,31 +314,57 @@ def neardup_components(
     changed = -1
     rounds = 0
     while rounds < max_iter:
-        # TWO propagation folds per convergence check (round 6): the
+        # TWO propagation folds per materialized convergence check: the
         # count action — not the fold — is the per-round fixed cost
-        # (job launch + result round trip), so stacking two min-folds
-        # into one materialized plan halves the action count on deep
-        # graphs. Shallow graphs (the common case) pay at most one
-        # wasted fold, inside the same job. `old` carries the label
-        # from BEFORE both folds; labels only decrease, so
-        # label < old <=> something changed in EITHER fold, and a
-        # two-fold fixed point is a one-fold fixed point.
-        cur = labels.select("doc", "label", F.col("label").alias("old"))
-        for _f in range(2):
-            if rounds >= max_iter:
-                break
+        # (job launch + result round trip). `mid` carries the label
+        # from BETWEEN the folds (the null-min trick: prop rows
+        # contribute NULL, so min(mid) recovers each doc's own
+        # post-fold-1 label), and the convergence test is
+        # "did the SECOND fold change anything vs the first" —
+        # label < mid. If fold 2 was a no-op, fold 1's output was
+        # already a fixed point of the propagation operator, which (by
+        # the min-fold + symmetric-edge argument in the docstring) IS
+        # full convergence. The usual shallow LSH graph (near-clique
+        # buckets, diameter ≤ 2) therefore converges in ONE
+        # materialized job — fold 1 finishes it, fold 2 confirms it,
+        # both inside the same count — where a check-then-confirm loop
+        # would launch two. max_iter is an even-rounded fold budget
+        # (checks always run paired folds).
+        # The FIRST check runs three folds: LSH candidate graphs are
+        # overwhelmingly diameter ≤ 2 (near-clique buckets chained
+        # across bands), so folds 1-2 finish them and fold 3 confirms —
+        # the whole query then needs exactly ONE materialized job.
+        # Later checks drop back to two folds between jump pairs.
+        n_folds = 3 if rounds == 0 else 2
+        cur = labels.select("doc", "label")
+        for f in range(n_folds):
             rounds += 1
-            prop = edges.join(cur, edges["a"] == cur["doc"]).select(
-                F.col("b").alias("doc"), "label", F.lit(None).alias("old")
-            )
-            cur = (
-                cur.unionByName(prop)
-                .groupBy("doc")
-                .agg(
-                    F.min("label").alias("label"),
-                    F.min("old").alias("old"),  # unique per doc
+            if f == n_folds - 1:  # snapshot pre-last-fold labels as mid
+                cur = cur.select(
+                    "doc", "label", F.col("label").alias("mid")
                 )
-            )
+                prop = edges.join(cur, edges["a"] == cur["doc"]).select(
+                    F.col("b").alias("doc"),
+                    "label",
+                    F.lit(None).alias("mid"),
+                )
+                cur = (
+                    cur.unionByName(prop)
+                    .groupBy("doc")
+                    .agg(
+                        F.min("label").alias("label"),
+                        F.min("mid").alias("mid"),  # unique per doc
+                    )
+                )
+            else:
+                prop = edges.join(cur, edges["a"] == cur["doc"]).select(
+                    F.col("b").alias("doc"), "label"
+                )
+                cur = (
+                    cur.unionByName(prop)
+                    .groupBy("doc")
+                    .agg(F.min("label").alias("label"))
+                )
         # LAZY checkpoint + full-filter count: ONE Spark job both
         # materializes this round's labels (all partitions — no limit(),
         # which could truncate the checkpoint) and computes the change
@@ -335,17 +372,14 @@ def neardup_components(
         # per round, and per-round job launch overhead dominates the
         # loop's wall time on small-to-medium graphs.
         hop = cur.localCheckpoint(eager=False)
-        # Convergence check BEFORE the jump: a propagation fixed point is
-        # fully converged (any cross-edge label difference would decrease
-        # some min), so the final round — and every round of an
-        # already-converged graph — skips the parent join entirely. The
-        # jump below is purely an accelerator for deep components.
-        changed = hop.filter(F.col("label") < F.col("old")).count()
+        # Convergence check BEFORE the jump: the jump below is purely an
+        # accelerator for deep components.
+        changed = hop.filter(F.col("label") < F.col("mid")).count()
         if changed == 0:
-            labels = hop.drop("old")
+            labels = hop.drop("mid")
             break
         if rounds <= jump_after:
-            labels = hop.drop("old")
+            labels = hop.drop("mid")
             continue
         # pointer jumping: label <- label(label). Every label is itself a
         # doc id, and a parent's label is ≤ its own id by the min-fold
@@ -358,7 +392,7 @@ def neardup_components(
         # bounded join against launching a second job, the right trade
         # on any graph shallow enough to be re-derived (and deep tiers
         # converge in strictly fewer materializations).
-        jumped = hop.drop("old")
+        jumped = hop.drop("mid")
         for _j in range(2):
             parent = jumped.select(
                 F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
