@@ -15,14 +15,14 @@ data, the TILED layout (tags 322-325, full-size zero-padded edge tiles,
 row-major tile order), DEFLATE-compressed strips AND tiles
 (Compression 8 "Adobe deflate" and the legacy 32946 code; zlib is
 stdlib), TIFF-variant LZW (Compression 5 — spec §13 early-change
-codec in pure Python, pinned to the spec's own worked example) with
-horizontal differencing (Predictor 2) on integer samples —
-scoped per decode unit, i.e. per tile in tiled files — and the GeoTIFF
-georeferencing tags (ModelPixelScale 33550, ModelTiepoint 33922, GDAL
-nodata 42113) → an affine geotransform.
-Gated (clear NotImplementedError): other compressions (JPEG/
-PackBits/ZSTD…), the floating-point Predictor 3, and planar
-configuration 2.
+codec in pure Python, pinned to the spec's own worked example),
+PackBits RLE (Compression 32773 — spec §9, row-scoped packing on
+write, stream decode on read), horizontal differencing (Predictor 2)
+on integer samples — scoped per decode unit, i.e. per tile in tiled
+files — and the GeoTIFF georeferencing tags (ModelPixelScale 33550,
+ModelTiepoint 33922, GDAL nodata 42113) → an affine geotransform.
+Gated (clear NotImplementedError): other compressions (JPEG/ZSTD…),
+the floating-point Predictor 3, and planar configuration 2.
 
 Scale path: `sources.loaders.load_sits_geotiff` explodes raster pixels
 to long rows ON EXECUTORS (binaryFile + mapInPandas), one granule per
@@ -49,6 +49,7 @@ T_PIXEL_SCALE, T_TIEPOINT, T_NODATA = 33550, 33922, 42113
 
 _DEFLATE_CODES = (8, 32946)  # Adobe deflate + the legacy COMPRESSION_DEFLATE
 _LZW_CODE = 5
+_PACKBITS_CODE = 32773
 
 _LZW_CLEAR, _LZW_EOI = 256, 257
 
@@ -149,6 +150,53 @@ def lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE (TIFF spec §9): control byte c — 0..127 copies the
+    next c+1 bytes literally, 129..255 repeats the next byte 257-c
+    times, 128 is a no-op. Decoded as one stream per strip/tile: the
+    spec packs rows separately, but concatenated row streams decode
+    identically, so this also accepts writers whose runs cross rows."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += data[i : i + 1] * (257 - c)
+            i += 1
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (fixture generator): replicate runs of ≥3,
+    literal stretches otherwise, both capped at 128 per the spec. The
+    caller packs each ROW separately (spec §9 requirement)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i = j + 1
+            continue
+        k = i
+        while k < n and k - i < 128:
+            if k + 2 < n and data[k] == data[k + 1] == data[k + 2]:
+                break
+            k += 1
+        out.append(k - i - 1)
+        out += data[i:k]
+        i = k
+    return bytes(out)
+
+
 @dataclass
 class TiffPage:
     width: int
@@ -223,14 +271,15 @@ def read_tiff(buf: bytes) -> list[TiffPage]:
         (ifd_off,) = struct.unpack_from(bo + "I", buf, ifd_off + 2 + 12 * n_tags)
 
         compression = int(tags.get(T_COMPRESSION, 1))
-        if compression != 1 and compression not in _DEFLATE_CODES and (
-            compression != _LZW_CODE
+        if compression not in (1, _LZW_CODE, _PACKBITS_CODE) and (
+            compression not in _DEFLATE_CODES
         ):
             raise NotImplementedError(
                 f"TIFF compression {compression} — only baseline "
-                "uncompressed, DEFLATE (8/32946) and LZW (5) rasters "
-                "decode without raster libraries (convert with "
-                "`gdal_translate -co COMPRESS=DEFLATE` offline)"
+                "uncompressed, DEFLATE (8/32946), LZW (5) and PackBits "
+                "(32773) rasters decode without raster libraries "
+                "(convert with `gdal_translate -co COMPRESS=DEFLATE` "
+                "offline)"
             )
         if tags.get(T_PLANAR, 1) != 1:
             raise NotImplementedError("planar configuration 2 unsupported")
@@ -286,6 +335,8 @@ def read_tiff(buf: bytes) -> list[TiffPage]:
             if compression == _LZW_CODE:
                 # independently LZW-coded strips/tiles (spec §13)
                 return lzw_decode(buf[off : off + cnt])
+            if compression == _PACKBITS_CODE:
+                return packbits_decode(buf[off : off + cnt])
             return buf[off : off + cnt]
 
         def _tup(v) -> tuple:
@@ -364,7 +415,7 @@ def write_tiff(
     kind = data.dtype.kind
     fmt = {"u": 1, "i": 2, "f": 3}[kind]
     bits = data.dtype.itemsize * 8
-    if compress not in (None, "deflate", "lzw"):
+    if compress not in (None, "deflate", "lzw", "packbits"):
         raise NotImplementedError(f"write compression {compress!r}")
     if predictor not in (1, 2):
         raise NotImplementedError(f"write predictor {predictor}")
@@ -384,6 +435,12 @@ def write_tiff(
         return d.view(arr.dtype)
 
     def _pack(arr: np.ndarray) -> bytes:
+        if compress == "packbits":
+            # spec §9: each row is packed SEPARATELY (no run may span a
+            # row boundary); arr is (rows, width[, spp]) for this chunk
+            return b"".join(
+                packbits_encode(row.tobytes()) for row in arr
+            )
         chunk = arr.tobytes()
         if compress == "deflate":
             import zlib
@@ -448,7 +505,8 @@ def write_tiff(
     tag(T_BITS, 3, [bits] * spp, "H")
     tag(
         T_COMPRESSION, 3,
-        [{None: 1, "deflate": 8, "lzw": _LZW_CODE}[compress]], "H",
+        [{None: 1, "deflate": 8, "lzw": _LZW_CODE,
+          "packbits": _PACKBITS_CODE}[compress]], "H",
     )
     tag(262, 3, [1], "H")  # BlackIsZero
     if tile is not None:

@@ -330,10 +330,10 @@ def test_geotiff_compressed_gated():
     from fusets_spark.sources.geotiff import read_tiff
 
     buf = bytearray(_handcrafted_tiff_bytes())
-    # flip the Compression entry (tag 259, 4th entry) to 32773 (PackBits
-    # — LZW and DEFLATE are supported now, PackBits keeps the gate)
+    # flip the Compression entry (tag 259, 4th entry) to 7 (JPEG —
+    # DEFLATE/LZW/PackBits are supported now, JPEG keeps the gate)
     off = 12 + 2 + 3 * 12 + 8
-    buf[off : off + 2] = struct.pack("<H", 32773)
+    buf[off : off + 2] = struct.pack("<H", 7)
     with _pytest.raises(NotImplementedError, match="compression"):
         read_tiff(bytes(buf))
 
@@ -449,15 +449,15 @@ def test_geotiff_deflate_predictor_golden_bytes():
 
 
 def test_geotiff_exotic_codecs_still_gated():
-    """DEFLATE and LZW joined the supported set — PackBits/JPEG/ZSTD keep
-    their clear gates."""
+    """DEFLATE, LZW and PackBits joined the supported set — JPEG/ZSTD
+    keep their clear gates."""
     import numpy as np
     import pytest as _pytest
 
     from fusets_spark.sources.geotiff import read_tiff, write_tiff
 
     with _pytest.raises(NotImplementedError, match="compression"):
-        write_tiff(np.zeros((2, 2), np.uint8), compress="packbits")
+        write_tiff(np.zeros((2, 2), np.uint8), compress="jpeg")
     # float predictor stays gated on read and write
     with _pytest.raises(NotImplementedError, match="integer-only"):
         write_tiff(
@@ -981,3 +981,64 @@ def test_netcdf4_chunked_compressed_roundtrip():
          NcVar("v", ("a", "b"), flat)],
     )
     assert len(small) < len(big) / 4
+
+
+def test_tiff_packbits_spec_worked_example():
+    """TIFF 6.0 §9's own worked example pins the codec to the SPEC:
+    the 24-byte unpacked row must pack to exactly FE AA 02 80 00 2A FD
+    AA 03 80 00 2A 22 F7 AA, and decode back. Also: control byte 128 is
+    a no-op on decode."""
+    from fusets_spark.sources.geotiff import packbits_decode, packbits_encode
+
+    unpacked = bytes.fromhex("aaaaaa8000 2aaaaaaaaa 80002a22aa aaaaaaaaaa aaaaaaaa".replace(" ", ""))
+    packed = bytes.fromhex("feaa0280002afdaa0380002a22f7aa")
+    assert packbits_encode(unpacked) == packed
+    assert packbits_decode(packed) == unpacked
+    # 128 no-op byte interleaved anywhere decodes identically
+    assert packbits_decode(b"\x80" + packed + b"\x80") == unpacked
+
+
+def test_tiff_packbits_roundtrip_edge_shapes():
+    """Round trips across run/literal boundaries: max-length (128) runs
+    and literals, alternating bytes, empty input, single byte."""
+    import numpy as np
+
+    from fusets_spark.sources.geotiff import packbits_decode, packbits_encode
+
+    rng = np.random.default_rng(17)
+    cases = [
+        b"\x07" * 300,                      # >2 max runs
+        bytes(range(256)),                  # pure literal > 128
+        b"ababab" * 100,                    # 2-runs stay literal
+        rng.integers(0, 256, size=10_000).astype(np.uint8).tobytes(),
+        b"",
+        b"\x42",
+        b"\x01\x01",                        # 2-run below replicate cutoff
+        b"xy" + b"\x00" * 127 + b"zw",      # run bracketed by literals
+    ]
+    for raw in cases:
+        assert packbits_decode(packbits_encode(raw)) == raw
+
+
+def test_geotiff_packbits_roundtrip():
+    """Full-file PackBits round trip: multi-row strips (row-scoped
+    packing per spec §9), the tiled layout, and an i16 raster whose rows
+    end mid-run (packing must not let runs cross row boundaries)."""
+    import numpy as np
+
+    from fusets_spark.sources.geotiff import read_tiff, write_tiff
+
+    rng = np.random.default_rng(23)
+    # long constant stretches: the shape PackBits actually compresses
+    arr = np.repeat(
+        rng.integers(-300, 300, size=(11, 3)), 3, axis=1
+    ).astype(np.int16)
+    p = read_tiff(write_tiff(arr, compress="packbits", rows_per_strip=4))[0]
+    np.testing.assert_array_equal(np.asarray(p.data), arr)
+    arr8 = rng.integers(0, 4, size=(6, 8)).astype(np.uint8)
+    p = read_tiff(write_tiff(arr8, compress="packbits", tile=(4, 4)))[0]
+    np.testing.assert_array_equal(np.asarray(p.data), arr8)
+    # constant raster: every row is one full run, strips of 1 row each
+    const = np.full((5, 200), 9, dtype=np.uint8)
+    p = read_tiff(write_tiff(const, compress="packbits", rows_per_strip=1))[0]
+    np.testing.assert_array_equal(np.asarray(p.data), const)
