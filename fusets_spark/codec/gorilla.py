@@ -168,9 +168,12 @@ def _pack_codewords(vals: np.ndarray, widths: np.ndarray) -> bytes:
     starts = (ends - widths).astype(np.int64)
     n_words = (total + 63) // 64 + 1  # +1 spill word for boundary writes
     words = np.zeros(n_words, dtype=np.uint64)
-    w0 = (starts >> 6).astype(np.int64)
+    nz = widths > 0
+    starts = starts[nz]
+    v = vals[nz]
+    wid = widths[nz].astype(np.uint64)
+    w0 = starts >> 6
     off = (starts & 63).astype(np.uint64)
-    wid = widths.astype(np.uint64)
     # high part: value's bits placed at [off, off+width) of a 128-bit window
     # starting at word w0. shift_hi = 64 - off - width + 64 ... computed as:
     rsh = off + wid  # bits consumed from the 128-bit window's left edge
@@ -178,16 +181,24 @@ def _pack_codewords(vals: np.ndarray, widths: np.ndarray) -> bytes:
     gt = rsh > 64
     hi = np.where(
         gt,
-        vals >> np.where(gt, rsh - 64, 0),
-        vals << np.where(gt, np.uint64(0), 64 - rsh),
+        v >> np.where(gt, rsh - 64, 0),
+        v << np.where(gt, np.uint64(0), 64 - rsh),
     )
-    # guard shift counts: for ~gt rows 128-rsh ≥ 64 (UB); select 0 first
-    lo_shift = np.where(gt, np.uint64(128) - rsh, np.uint64(0))
-    lo = np.where(gt, vals << lo_shift, 0)
-    nz = widths > 0
-    np.bitwise_or.at(words, w0[nz], hi[nz])
-    sel = nz & gt
-    np.bitwise_or.at(words, w0[sel] + 1, lo[sel])
+    # Codeword starts are NONDECREASING, so each word's contributions are
+    # a CONTIGUOUS run: OR-combine per run with bitwise_or.reduceat and
+    # write each distinct word once. This replaces np.bitwise_or.at —
+    # the unbuffered ufunc scatter ran ~10x slower than the buffered
+    # reduction and its random-access accumulation was the cache-hostile
+    # part of the encoder at high core counts.
+    st = np.flatnonzero(np.r_[True, w0[1:] != w0[:-1]])
+    words[w0[st]] = np.bitwise_or.reduceat(hi, st)
+    if gt.any():
+        # spill words: the low parts target w0+1, also nondecreasing;
+        # |= because a spill word is usually the next codeword's w0 too
+        w1 = w0[gt] + 1
+        lo = v[gt] << (np.uint64(128) - rsh[gt])
+        st1 = np.flatnonzero(np.r_[True, w1[1:] != w1[:-1]])
+        words[w1[st1]] |= np.bitwise_or.reduceat(lo, st1)
     nbytes = (total + 7) // 8
     return words.byteswap().tobytes()[:nbytes]
 
@@ -454,10 +465,10 @@ def _gather_bits(
     (MSB-first). width in [0, 64]; every shift count is clamped into
     [0, 63] before use (numpy uint64 shifts by >= 64 are undefined), with
     np.where selecting the clamped lanes' true contribution."""
-    w = width.astype(np.uint64)
+    w = width.astype(np.uint64, copy=False)
     # keep index math in int64: numpy silently promotes int64+uint64 to
     # float64, which would corrupt word indices past 2^53
-    i = base + (p >> np.uint64(6)).astype(np.int64)
+    i = base + (p >> np.uint64(6)).astype(np.int64, copy=False)
     off = (p & _U63).astype(np.uint64)
     w1 = words[i]
     w2 = words[i + 1]
@@ -555,13 +566,15 @@ def decode_blocks_lockstep(
     # 1..n-1, then every value codeword — so lockstep runs two phases. Each
     # block's cursor ends phase 1 exactly at its value stream's start.
     # o_n is sorted descending: active prefix for point k is o_n > k.
+    five = np.full(B, 5, np.uint64)  # constant-width reads, sliced per iter
+    two = np.full(B, 2, np.uint64)
     for k in range(1, max_n):
         a = int(np.searchsorted(-o_n, -(k + 1), side="right"))
         if a == 0:
             break
         pa = p[:a]
         ba = o_base[:a]
-        peek = _gather_bits(words, ba, pa, np.full(a, 5, np.uint64))
+        peek = _gather_bits(words, ba, pa, five[:a])
         cls = (
             (peek >= 0b10000).astype(np.int64)
             + (peek >= 0b11000)
@@ -588,7 +601,7 @@ def decode_blocks_lockstep(
             break
         pa = p[:a]
         ba = o_base[:a]
-        c2 = _gather_bits(words, ba, pa, np.full(a, 2, np.uint64))
+        c2 = _gather_bits(words, ba, pa, two[:a])
         is_zero = c2 < 2  # first bit 0
         is_new = c2 == 3  # '11' (c2 == 2 is the '10' reuse-window path)
         ctrl = _gather_bits(
