@@ -471,11 +471,13 @@ def main() -> None:
             continue
         # time build + execute: dedup_components iterates (actions) during
         # query construction, so the timer must wrap the callable too.
-        # Best-of-2 like the headline set: these are single-shot walls on a
-        # phantom-load VM, and a single spike (r5: dedup_components 4.9 s
-        # vs 3.8 s isolated) misreports a query as regressed.
+        # Best-of-3 (round 6; headline stays best-of-2): these are
+        # single-shot walls on a phantom-load VM, a single spike (r5:
+        # dedup_components 4.9 s vs 3.8 s isolated) misreports a query as
+        # regressed, and the training set is cheap enough (~15 s/rep) that
+        # one extra rep buys a much tighter min estimator.
         t_best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             _, dt, _cpu = _timed_retry(
                 lambda: _noop_write(qs[name](spark, SF_DIR)),
                 f"training {name}",

@@ -328,8 +328,9 @@ def neardup_components(
         # buckets, diameter ≤ 2) therefore converges in ONE
         # materialized job — fold 1 finishes it, fold 2 confirms it,
         # both inside the same count — where a check-then-confirm loop
-        # would launch two. max_iter is an even-rounded fold budget
-        # (checks always run paired folds).
+        # would launch two. max_iter is a fold budget rounded up to the
+        # enclosing check (a check may run up to 2 folds past it before
+        # the convergence test fires).
         # The FIRST check runs three folds: LSH candidate graphs are
         # overwhelmingly diameter ≤ 2 (near-clique buckets chained
         # across bands), so folds 1-2 finish them and fold 3 confirms —

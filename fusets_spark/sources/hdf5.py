@@ -19,7 +19,8 @@ Supported (read):
   * datasets with CONTIGUOUS, COMPACT, or CHUNKED layout (v3 layout
     message; chunked = v1 chunk B-tree walk, full-size fill-padded edge
     chunks) with the standard netCDF-4 filter stack — deflate (zlib),
-    shuffle (byte transpose), fletcher32 — per-chunk, mask-aware;
+    shuffle (byte transpose, remainder-aware), fletcher32 (checksum
+    VERIFIED per chunk; mismatch raises) — per-chunk, mask-aware;
   * fixed-point, IEEE-float, fixed-string, reference and vlen datatypes;
   * attributes (v1/v2/v3 messages), including vlen payloads through
     global heap collections (``GCOL``) — enough for the netCDF-4
@@ -393,6 +394,36 @@ class H5Dataset:
 FILT_DEFLATE, FILT_SHUFFLE, FILT_FLETCHER32 = 1, 2, 3
 
 
+def fletcher32(data: bytes) -> int:
+    """HDF5's H5_checksum_fletcher32: Fletcher-32 over big-endian 16-bit
+    words, accumulators folded every 360 words (the largest block a
+    32-bit accumulator survives), odd trailing byte taken as its own
+    high-byte word. Vectorized per block: within a block
+    sum1 += w_k; sum2 += sum1 — so the block contributes cumsum(w)[-1]
+    to sum1 and len*sum1_in + sum(cumsum(w)) to sum2."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    n = len(b)
+    nw = n // 2
+    words = (
+        b[: 2 * nw : 2].astype(np.uint64) << np.uint64(8)
+    ) | b[1 : 2 * nw : 2]
+    s1 = s2 = 0
+    for i in range(0, nw, 360):
+        cs = np.cumsum(words[i : i + 360])
+        s2 += len(cs) * s1 + int(cs.sum())
+        s1 += int(cs[-1])
+        s1 = (s1 & 0xFFFF) + (s1 >> 16)
+        s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    if n % 2:
+        s1 += int(b[-1]) << 8
+        s2 += s1
+        s1 = (s1 & 0xFFFF) + (s1 >> 16)
+        s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    s1 = (s1 & 0xFFFF) + (s1 >> 16)
+    s2 = (s2 & 0xFFFF) + (s2 >> 16)
+    return (s2 << 16) | s1
+
+
 def _parse_filters(body: bytes) -> list[tuple[int, tuple[int, ...]]]:
     """Filter pipeline message (v1/v2) -> [(filter_id, client_values)]
     in WRITE order (inverse-apply in reverse on read)."""
@@ -429,14 +460,26 @@ def _unfilter(raw: bytes, filters, mask: int, elem_size: int) -> bytes:
             raw = zlib.decompress(raw)
         elif fid == FILT_SHUFFLE:
             esize = cvals[0] if cvals else elem_size
-            if esize > 1 and len(raw) % esize == 0:
-                arr = np.frombuffer(raw, dtype=np.uint8)
+            if esize > 1:
+                # HDF5 shuffles only the multiple-of-esize prefix and
+                # copies the remainder verbatim — the remainder is real
+                # whenever fletcher32 ran later in the pipeline (its
+                # 4-byte tail makes the chunk a non-multiple)
+                main = (len(raw) // esize) * esize
+                arr = np.frombuffer(raw[:main], dtype=np.uint8)
                 raw = (
-                    arr.reshape(esize, len(raw) // esize).T.tobytes()
+                    arr.reshape(esize, main // esize).T.tobytes()
+                    + raw[main:]
                 )
         elif fid == FILT_FLETCHER32:
-            raw = raw[:-4]  # stored checksum; content integrity is
-            # pinned by value-exact tests, so skip re-verification
+            stored = int.from_bytes(raw[-4:], "little")
+            payload = raw[:-4]
+            if fletcher32(payload) != stored:
+                raise ValueError(
+                    "fletcher32 checksum mismatch — corrupt HDF5 chunk "
+                    f"(stored {stored:#010x})"
+                )
+            raw = payload
         else:
             raise NotImplementedError(
                 f"HDF5 filter {fid} (szip/nbit/scaleoffset need libhdf5)"
@@ -747,9 +790,11 @@ def write_netcdf4(
 
     `chunked` opts a variable into the CHUNKED layout with the standard
     netCDF-4 compression stack: {name: {"chunks": (c0, ...),
-    "shuffle": bool, "deflate": bool}} — full-size fill-padded edge
-    chunks indexed by a v1 B-tree, shuffle (byte transpose) then zlib
-    per chunk, exactly what `nc_def_var_deflate` produces."""
+    "shuffle": bool, "deflate": bool, "fletcher32": bool}} — full-size
+    fill-padded edge chunks indexed by a v1 B-tree; fletcher32 checksum
+    first (libnetcdf's pipeline order), then shuffle (byte transpose),
+    then zlib per chunk — exactly what `nc_def_var_deflate` +
+    `nc_def_var_fletcher32` produce."""
     var_by_name = {v.name: v for v in variables}
     dim_sizes: dict[str, int] = {}
     for dn, size in dims.items():
@@ -809,11 +854,17 @@ def write_netcdf4(
                 )
                 pad[dst] = a[sel]
                 raw = pad.tobytes()
+                # pipeline order mirrors libnetcdf: fletcher32 first
+                # (checksums the raw chunk), then shuffle, then deflate
+                if spec.get("fletcher32"):
+                    raw = raw + struct.pack("<I", fletcher32(raw))
                 if spec.get("shuffle"):
+                    main = (len(raw) // esize) * esize
                     raw = (
-                        np.frombuffer(raw, np.uint8)
-                        .reshape(len(raw) // esize, esize)
+                        np.frombuffer(raw[:main], np.uint8)
+                        .reshape(main // esize, esize)
                         .T.tobytes()
+                        + raw[main:]
                     )
                 if spec.get("deflate", True):
                     import zlib
@@ -841,6 +892,8 @@ def write_netcdf4(
             node += struct.pack("<Q", 0)
             blocks.append((cur, bytes(node)))
             filters = []
+            if spec.get("fletcher32"):
+                filters.append((FILT_FLETCHER32, ()))
             if spec.get("shuffle"):
                 filters.append((FILT_SHUFFLE, (esize,)))
             if spec.get("deflate", True):

@@ -1042,3 +1042,92 @@ def test_geotiff_packbits_roundtrip():
     const = np.full((5, 200), 9, dtype=np.uint8)
     p = read_tiff(write_tiff(const, compress="packbits", rows_per_strip=1))[0]
     np.testing.assert_array_equal(np.asarray(p.data), const)
+
+
+def test_fletcher32_matches_scalar_reference():
+    """The vectorized Fletcher-32 must equal an independent per-word
+    scalar transcription of HDF5's H5_checksum_fletcher32 (big-endian
+    16-bit words, 360-word folding, odd-byte high-word) across fold
+    boundaries and odd lengths."""
+    import numpy as np
+
+    from fusets_spark.sources.hdf5 import fletcher32
+
+    def scalar(data: bytes) -> int:
+        s1 = s2 = 0
+        nw = len(data) // 2
+        i = 0
+        left = nw
+        while left:
+            t = min(left, 360)
+            left -= t
+            for _ in range(t):
+                s1 += (data[i] << 8) | data[i + 1]
+                s2 += s1
+                i += 2
+            s1 = (s1 & 0xFFFF) + (s1 >> 16)
+            s2 = (s2 & 0xFFFF) + (s2 >> 16)
+        if len(data) % 2:
+            s1 += data[-1] << 8
+            s2 += s1
+            s1 = (s1 & 0xFFFF) + (s1 >> 16)
+            s2 = (s2 & 0xFFFF) + (s2 >> 16)
+        s1 = (s1 & 0xFFFF) + (s1 >> 16)
+        s2 = (s2 & 0xFFFF) + (s2 >> 16)
+        return (s2 << 16) | s1
+
+    rng = np.random.default_rng(29)
+    for n in (0, 1, 2, 3, 719, 720, 721, 5000):
+        data = rng.integers(0, 256, size=n).astype(np.uint8).tobytes()
+        assert fletcher32(data) == scalar(data), n
+    assert fletcher32(b"\xff" * 1441) == scalar(b"\xff" * 1441)
+
+
+def test_netcdf4_fletcher32_roundtrip_and_corruption():
+    """fletcher32-filtered chunks round trip (alone and under the full
+    fletcher+shuffle+deflate stack, whose 4-byte tail makes the chunk a
+    non-multiple of esize — the shuffle-remainder path), and a flipped
+    payload byte raises a checksum error instead of returning garbage."""
+    import numpy as np
+    import pytest as _pytest
+
+    from fusets_spark.sources.hdf5 import read_netcdf4, write_netcdf4
+    from fusets_spark.sources.netcdf3 import NcVar
+
+    time = np.arange(9, dtype=np.int32)
+    cube = (np.arange(9, dtype=np.float64) * 1.5)[:, None] + np.arange(4)
+    for spec in (
+        {"chunks": (4, 4), "deflate": False, "fletcher32": True},
+        {"chunks": (4, 4), "shuffle": True, "fletcher32": True,
+         "deflate": False},
+        {"chunks": (4, 4), "shuffle": True, "deflate": True,
+         "fletcher32": True},
+    ):
+        buf = write_netcdf4(
+            {"time": None, "s": 4},
+            [
+                NcVar("time", ("time",), time),
+                NcVar("s", ("s",), np.arange(4, dtype=np.int32)),
+                NcVar("value", ("time", "s"), cube),
+            ],
+            chunked={"value": dict(spec)},
+        )
+        parsed = read_netcdf4(buf)
+        np.testing.assert_array_equal(parsed["vars"]["value"].data, cube)
+    # corruption detection: fletcher-only file, flip one payload byte
+    buf = write_netcdf4(
+        {"time": None, "s": 4},
+        [
+            NcVar("time", ("time",), time),
+            NcVar("s", ("s",), np.arange(4, dtype=np.int32)),
+            NcVar("value", ("time", "s"), cube),
+        ],
+        chunked={"value": {"chunks": (9, 4), "deflate": False,
+                           "fletcher32": True}},
+    )
+    needle = np.float64(1.5).tobytes()
+    pos = buf.index(needle)
+    bad = bytearray(buf)
+    bad[pos] ^= 0xFF
+    with _pytest.raises(ValueError, match="fletcher32"):
+        read_netcdf4(bytes(bad))
