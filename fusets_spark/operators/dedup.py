@@ -255,13 +255,15 @@ def neardup_components(
 
     Iterative min-label propagation with POINTER JUMPING (the
     large-star/small-star family): every doc starts labeled with itself;
-    each iteration (1) pushes labels across edges and keeps the per-doc
-    min (two folds per materialized check — the count action, not the
-    fold, is the per-round fixed cost), then (2) replaces each doc's
-    label by its label's own label, twice. Step (2) quarters the
-    remaining pointer depth per iteration, so convergence is
-    O(log diameter) rounds — a chain of n duplicates (boilerplate-heavy
-    corpora) resolves in ~log2(n) folds instead of n.
+    each materialized check (1) pushes labels across edges and keeps the
+    per-doc min — 3 folds on the first check, 2 after, with convergence
+    read off the LAST fold (the count action, not the fold, is the
+    per-check fixed cost, and a last-fold no-op proves a propagation
+    fixed point, so the common shallow graph finishes in ONE job) —
+    then (2) replaces each doc's label by its label's own label, twice.
+    Step (2) quarters the remaining pointer depth per iteration, so
+    convergence is O(log diameter) rounds — a chain of n duplicates
+    (boilerplate-heavy corpora) resolves in ~log2(n) folds instead of n.
     localCheckpoint() truncates the iterative lineage so the plan does
     not grow per round. Docs with no candidate pair are singleton
     components.

@@ -194,8 +194,6 @@ def main() -> None:
             level["seq_per_sec"] = round(N_DOCS / level["ingest_noop_sec"], 1)
 
             # (2) full pipeline lifecycle against a fresh store
-            shutil.rmtree(STORE, ignore_errors=True)
-            pipe = RollupPipeline(STORE, block_seconds=3600)
             stages: dict[str, float] = {}
 
             def timed(name, fn):
@@ -214,7 +212,46 @@ def main() -> None:
                 dc = sum(max(0.0, v - c0.get(p, 0.0)) for p, v in c1.items())
                 stages[name + "_cpu"] = round(dc, 1)
 
-            timed("commit_main", lambda: pipe.process_batch(toks, "b1"))
+            # commit_main best-of-2 against a FRESH store per rep, like
+            # the ingest stage: it is the longest single-shot window and
+            # the first heavy WRITE of the level, so one cold pass under
+            # phantom host load swung it 175→377 s across otherwise
+            # identical runs (round 6; an isolated warm rep measured
+            # 129.6 s). The commit is deterministic (kill/resume tests
+            # pin byte identity), so the kept store is the same either
+            # way; min wall is the house estimator under interference.
+            commit_samples = []
+            for _rep in range(2):
+                # one retry per rep: the documented ~1/10
+                # silently-crashed-Python-worker mode (Arrow stream
+                # reader dies mid-save) killed two otherwise-clean runs
+                # once the rep count doubled the heavy-commit exposure;
+                # a crashed rep leaves a half-written store that the
+                # fresh rmtree+pipeline below discards anyway
+                for attempt in range(2):
+                    shutil.rmtree(STORE, ignore_errors=True)
+                    pipe = RollupPipeline(STORE, block_seconds=3600)
+                    try:
+                        timed(
+                            "commit_main",
+                            lambda: pipe.process_batch(toks, "b1"),
+                        )
+                        break
+                    except Exception as e:  # noqa: BLE001
+                        if attempt:
+                            raise
+                        print(
+                            f"scale: commit_main crashed ({type(e).__name__}),"
+                            " retrying once",
+                            file=sys.stderr,
+                        )
+                commit_samples.append(
+                    (stages["commit_main"], stages["commit_main_cpu"])
+                )
+            stages["commit_main"], stages["commit_main_cpu"] = min(
+                commit_samples
+            )
+            level["commit_samples"] = [w for w, _ in commit_samples]
             timed("commit_late", lambda: pipe.process_batch(late, "b2"))
             timed(
                 "merged_read_1m",
