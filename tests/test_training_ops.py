@@ -417,3 +417,36 @@ def test_bmp_decode_roundtrip():
         fw, fh, nframes, mi = _decode_one(payload, "image", fake=False)
         assert (fw, fh, nframes) == (w, h, 1)
         assert mi == float(arr.mean())
+
+
+def test_neardup_components_shallow_graph_single_check(spark):
+    """The round-6 contract: a diameter-≤2 graph (star — the LSH
+    hot-bucket cap's output shape) must converge in ONE materialized
+    check (3 folds: fold 1-2 finish it, fold 3 self-confirms)."""
+    from fusets_spark.operators.dedup import neardup_components
+
+    n = 50
+    docs = spark.range(n).selectExpr("id AS doc_id", "'x' AS text")
+    pairs = spark.range(1, n).selectExpr("0 AS doc_a", "id AS doc_b")
+    rounds: list[int] = []
+    got = neardup_components(docs, pairs, _rounds_out=rounds).toPandas()
+    assert (got["component"] == 0).all()
+    assert got["is_survivor"].sum() == 1
+    assert rounds[0] == 3, f"star took {rounds[0]} folds (1 check = 3)"
+
+
+def test_neardup_components_mid_depth_needs_second_check(spark):
+    """A path of 6 nodes labeled from the high end (5-4-3-2-1-0) has
+    propagation depth 5: check 1's three folds still change labels on
+    their last fold, so the loop must NOT stop early — a second check
+    finishes and confirms. Guards the last-fold convergence test against
+    off-by-one early exits."""
+    from fusets_spark.operators.dedup import neardup_components
+
+    docs = spark.range(6).selectExpr("id AS doc_id", "'x' AS text")
+    pairs = spark.range(5).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    rounds: list[int] = []
+    got = neardup_components(docs, pairs, _rounds_out=rounds).toPandas()
+    assert (got["component"] == 0).all()
+    assert got["is_survivor"].sum() == 1
+    assert rounds[0] > 3, "depth-5 path cannot finish in one check"
