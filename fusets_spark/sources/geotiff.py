@@ -354,9 +354,16 @@ def read_tiff(buf: bytes) -> list[TiffPage]:
                     "(planar/multi-page tile sets unsupported)"
                 )
             canvas = np.zeros((down * tl, across * tw, spp), dtype=dtype)
+            need_t = tl * tw * spp * dtype.itemsize
             for i, (o, c) in enumerate(zip(offs, cnts)):
+                got = _chunk(o, c)
+                if len(got) < need_t:
+                    raise ValueError(
+                        f"TIFF tile {i} decodes short: {len(got)} bytes, "
+                        f"need {need_t} — corrupt or truncated file"
+                    )
                 tile = np.frombuffer(
-                    _chunk(o, c), dtype=dtype, count=tl * tw * spp
+                    got, dtype=dtype, count=tl * tw * spp
                 ).reshape(tl, tw, spp)
                 tile = _unpredict(tile)
                 r, cx = divmod(i, across)
@@ -368,6 +375,12 @@ def read_tiff(buf: bytes) -> list[TiffPage]:
             offs = _tup(tags[T_STRIP_OFFSETS])
             cnts = _tup(tags[T_STRIP_COUNTS])
             raw = b"".join(_chunk(o, c) for o, c in zip(offs, cnts))
+            need_s = h * w * spp * dtype.itemsize
+            if len(raw) < need_s:
+                raise ValueError(
+                    f"TIFF strips decode short: {len(raw)} bytes, "
+                    f"need {need_s} — corrupt or truncated file"
+                )
             data = np.frombuffer(raw, dtype=dtype, count=h * w * spp)
             data = data.reshape((h, w) if spp == 1 else (h, w, spp))
             data = _unpredict(data)

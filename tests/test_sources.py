@@ -1131,3 +1131,24 @@ def test_netcdf4_fletcher32_roundtrip_and_corruption():
     bad[pos] ^= 0xFF
     with _pytest.raises(ValueError, match="fletcher32"):
         read_netcdf4(bytes(bad))
+
+
+def test_geotiff_truncated_chunks_raise_clearly():
+    """A strip/tile that decodes short must raise a NAMED truncation
+    error (file context included), not numpy's bare buffer ValueError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from fusets_spark.sources.geotiff import read_tiff, write_tiff
+
+    arr = np.full((6, 8), 9, dtype=np.uint8)
+    # constant rows pack as one replicate run each: control 0xF9
+    # (257-249 = 8 bytes) + value 9. Shortening one run's count makes
+    # the stream decode to fewer pixels than the raster needs — the
+    # in-place corruption a real truncated/corrupt file presents.
+    for kwargs in (dict(rows_per_strip=6), dict(tile=(8, 8))):
+        buf = bytearray(write_tiff(arr, compress="packbits", **kwargs))
+        pos = buf.index(b"\xf9\x09")
+        buf[pos] = 0xFB  # run of 6, not 8
+        with _pytest.raises(ValueError, match="decodes? short"):
+            read_tiff(bytes(buf))
