@@ -73,7 +73,11 @@ def main() -> None:
             continue
         samples = []
         for rep in range(args.reps):
+            # time build + execute like bench.py: dedup_components runs
+            # iterative actions during query construction
+            t_build0 = time.monotonic()
             df = qs[name](spark, args.sf)
+            build_s = time.monotonic() - t_build0
             if rep == 0 and args.plans_dir:
                 os.makedirs(args.plans_dir, exist_ok=True)
                 with open(
@@ -85,7 +89,7 @@ def main() -> None:
             spark.sparkContext.setJobDescription(f"bench_extra: {name} rep{rep}")
             t0 = time.monotonic()
             df.write.format("noop").mode("overwrite").save()
-            samples.append(round(time.monotonic() - t0, 3))
+            samples.append(round(time.monotonic() - t0 + build_s, 3))
             spark.sparkContext.setJobDescription(None)
             spark.catalog.clearCache()
         out[name] = {"best": min(samples), "samples": samples}

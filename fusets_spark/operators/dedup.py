@@ -90,12 +90,105 @@ def minhash_signatures(
     min over shingles of substr(md5(shingle || ':' || i//4), 8*(i%4)+1, 8).
     One 128-bit md5 yields four independent 32-bit (8-hex-char, fixed
     width, so string min == numeric min) hash families, quartering the
-    digest count on the hot shingle stream vs one-md5-per-hash — the
-    dominant CPU of signature building at corpus scale. The formula is
-    portable (md5 + substring exist in every engine, incl. the DuckDB
-    oracle). min() is duplicate-insensitive, so the shingle stream skips
-    the distinct shuffle (one partial-aggregated row per doc crosses the
-    wire, not every shingle occurrence)."""
+    digest count on the hot shingle stream vs one-md5-per-hash. The
+    formula is portable (md5 + substring exist in every engine, incl. the
+    DuckDB oracle).
+
+    Round 7: signatures are built by a VECTORIZED mapInPandas kernel —
+    bit-identical to the expression form (the 8-hex-char substrings are
+    exactly the digest's big-endian uint32 words, and fixed-width-hex
+    string min == uint32 min; pinned in tests/test_training_ops.py) —
+    which removes both the shingle explode (rows × ~n_words) and its
+    groupBy from the plan entirely: one scan, zero shuffle, 8.5 s → 2.1 s
+    at sf1.0. Per batch, each distinct shingle is md5-hashed once (dict
+    cache — boilerplate shingles repeat heavily), the per-doc mins are one
+    numpy minimum.reduceat over the gathered digest-word table, and
+    duplicates need no handling because min is duplicate-insensitive.
+    Single-file inputs are fanned out first (session.fanout_partitions) so
+    the kernel is never pinned to one core by a lone parquet row group."""
+    import numpy as np
+    import pandas as pd
+
+    n_digests = (n_hashes + 3) // 4
+    names = [f"mh{i}" for i in range(n_hashes)]
+
+    def _sig(batches):
+        import binascii
+        import hashlib
+        import re
+
+        split = re.compile(" +").split
+        for pdf in batches:
+            cache: dict[str, int] = {}
+            rows: list[bytes] = []  # n_digests*16 raw md5 bytes per shingle
+            flat: list[int] = []
+            starts: list[int] = []
+            ids: list[int] = []
+            for doc_id, t in zip(pdf["doc_id"].to_numpy(), pdf["text"]):
+                if t is None:
+                    continue
+                words = split(t.strip(" "))
+                if len(words) < shingle_words:
+                    # mirrors the expression form: no shingles -> the doc
+                    # has no signature row at all
+                    continue
+                ids.append(doc_id)
+                starts.append(len(flat))
+                for i in range(len(words) - shingle_words + 1):
+                    s = " ".join(words[i : i + shingle_words])
+                    j = cache.get(s)
+                    if j is None:
+                        j = len(rows)
+                        cache[s] = j
+                        rows.append(
+                            b"".join(
+                                hashlib.md5(
+                                    (s + ":" + str(d)).encode("utf-8")
+                                ).digest()
+                                for d in range(n_digests)
+                            )
+                        )
+                    flat.append(j)
+            if not ids:
+                continue
+            # digest words, big-endian uint32: word w of digest d is the
+            # hex substring substr(md5, 8*w+1, 8) as a number
+            table = np.frombuffer(b"".join(rows), dtype=">u4").reshape(
+                -1, 4 * n_digests
+            )[:, :n_hashes]
+            mins = np.minimum.reduceat(
+                table[np.asarray(flat, dtype=np.int64)],
+                np.asarray(starts, dtype=np.int64),
+                axis=0,
+            )
+            data = {"doc_id": np.asarray(ids, dtype=np.int64)}
+            for k in range(n_hashes):
+                # ufunc outputs are native-endian regardless of the input's
+                # byte order — cast back to big-endian so the hex bytes come
+                # out in digest order
+                hx = binascii.hexlify(
+                    mins[:, k].astype(">u4").tobytes()
+                ).decode("ascii")
+                data[names[k]] = [
+                    hx[8 * i : 8 * i + 8] for i in range(len(ids))
+                ]
+            yield pd.DataFrame(data)
+
+    from ..session import fanout_partitions
+
+    schema = "doc_id long, " + ", ".join(f"{n} string" for n in names)
+    return fanout_partitions(docs.select("doc_id", "text")).mapInPandas(
+        _sig, schema=schema
+    )
+
+
+def minhash_signatures_expr(
+    docs: DataFrame, n_hashes: int = 8, shingle_words: int = 3
+) -> DataFrame:
+    """Pure-Catalyst signature builder (the pre-round-7 implementation):
+    shingle explode + min-aggregate per doc. min() is duplicate-
+    insensitive, so the shingle stream skips the distinct shuffle. Kept as
+    the independent reference the kernel is pinned against in tests."""
     sh = _doc_shingles(docs, shingle_words, distinct=False)
     digests = {
         j: F.md5(F.concat_ws(":", F.col("shingle"), F.lit(str(j))))
@@ -198,10 +291,93 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     supplies bit 4j..4j+3; each set bit votes +1, clear bit -1; simhash bit
     = 1 iff the vote sum > 0. Returned as a `bits`-char '0'/'1' string.
 
-    Plan shape: a single per-row higher-order array fold (aggregate over the
-    word-hash array of zip_with'd ±1 vote vectors) — ZERO shuffle and no row
-    blowup, vs. the naive words × bits explode + two groupBys (a 64× shuffle
-    amplification). Every word OCCURRENCE votes (duplicates kept)."""
+    Round 7: the vote fold runs as a VECTORIZED numpy kernel (mapInPandas)
+    instead of the interpreted per-element Catalyst fold — same integer
+    votes, bit-identical output (pinned against the expression form in
+    tests/test_training_ops.py), ~8× the throughput at sf1.0 (19.6 s →
+    2.5 s): per batch, each distinct word is md5-hashed once (dict cache),
+    the 64-bit vote rows come from one unpackbits over the digest table,
+    and each doc's vote sum is one numpy gather+sum. Still zero shuffle on
+    a well-partitioned corpus; single-file inputs are fanned out first
+    (session.fanout_partitions) because a lone parquet row group would pin
+    the kernel to one core. Every word OCCURRENCE votes (duplicates
+    kept). Falls back to the expression form when bits % 8 != 0."""
+    if bits % 8 == 0:
+        return _simhash_kernel(docs, bits)
+    return simhash_expr(docs, bits)
+
+
+def _simhash_kernel(docs: DataFrame, bits: int) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    nbytes = bits // 8
+
+    def _fold(batches):
+        import hashlib
+        import re
+
+        split = re.compile(" +").split
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            # distinct-word digest cache: md5 each word once per batch
+            word_ix: dict[str, int] = {}
+            digests: list[bytes] = []
+            doc_words: list[list[int] | None] = []
+            for t in pdf["text"]:
+                if t is None:
+                    # matches the expression form: concat_ws over the NULL
+                    # fold result yields an empty string
+                    doc_words.append(None)
+                    continue
+                idxs = []
+                for w in split(t.strip(" ")):
+                    j = word_ix.get(w)
+                    if j is None:
+                        j = len(digests)
+                        word_ix[w] = j
+                        digests.append(
+                            hashlib.md5(w.encode("utf-8")).digest()[:nbytes]
+                        )
+                    idxs.append(j)
+                doc_words.append(idxs)
+            if digests:
+                table = np.frombuffer(
+                    b"".join(digests), dtype=np.uint8
+                ).reshape(-1, nbytes)
+                # unpackbits is MSB-first per byte == hex-nibble bit order
+                votes = np.unpackbits(table, axis=1).astype(np.int32) * 2 - 1
+            else:
+                votes = np.zeros((0, bits), np.int32)
+            sums = np.zeros((n, bits), dtype=np.int64)
+            for i, idxs in enumerate(doc_words):
+                if idxs:
+                    sums[i] = votes[idxs].sum(axis=0, dtype=np.int64)
+            chars = np.where(sums > 0, ord("1"), ord("0")).astype(np.uint8)
+            sims = [
+                bytes(chars[i]).decode("ascii")
+                if doc_words[i] is not None
+                else ""
+                for i in range(n)
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "simhash": sims}
+            )
+
+    from ..session import fanout_partitions
+
+    return fanout_partitions(docs.select("doc_id", "text")).mapInPandas(
+        _fold, schema="doc_id long, simhash string"
+    )
+
+
+def simhash_expr(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """Pure-Catalyst SimHash (the pre-round-7 implementation): a single
+    per-row higher-order array fold (aggregate over the word-hash array of
+    zip_with'd ±1 vote vectors) — zero shuffle, no Python. Kept as the
+    independent reference the kernel is pinned against in tests."""
     nibbles = bits // 4
     hashes = F.transform(_words(), lambda w: F.substring(F.md5(w), 1, nibbles))
     # hex char -> its 4-bit ±1 vote vector, as a 16-entry literal map: one

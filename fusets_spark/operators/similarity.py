@@ -30,22 +30,56 @@ from pyspark.sql import functions as F
 from ..datagen import _hash01
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two array columns as a double.
 
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+    With `dim` given, the sum is UNROLLED into a flat left-associated
+    expression: higher-order functions (zip_with/aggregate) are interpreted
+    per element outside whole-stage codegen, which dominates wall time when
+    the dot runs once per candidate PAIR (millions of rows); the unrolled
+    form compiles to straight-line generated Java. The float result is
+    bit-identical: aggregate's left fold ((0+t0)+t1)+... is exactly the
+    unrolled chain's association order, and each term is the same
+    double(a[k])*double(b[k]). Out-of-bounds terms are NULL either way
+    (zip_with pads with NULL, getItem yields NULL), so short arrays still
+    null out the whole sum."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-    )
+    out: Column = F.lit(0.0)
+    for k in range(dim):
+        out = out + a.getItem(k).cast("double") * b.getItem(k).cast("double")
+    return out
+
+
+def _norm(a: Column | str, dim: int | None = None) -> Column:
+    """L2 norm of an array column; same unrolling contract as _dot. Pass
+    the column NAME together with dim to build the unrolled sum as one
+    parsed SQL expression (a single py4j round trip instead of ~400 —
+    query-construction time is part of the bench for the training ops)."""
+    if dim is None:
+        assert not isinstance(a, str)
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    if isinstance(a, str):
+        terms = " + ".join(
+            f"CAST({a}[{k}] AS DOUBLE) * CAST({a}[{k}] AS DOUBLE)"
+            for k in range(dim)
+        )
+        return F.expr(f"SQRT(0.0D + {terms})")
+    out: Column = F.lit(0.0)
+    for k in range(dim):
+        x = a.getItem(k).cast("double")
+        out = out + x * x
+    return F.sqrt(out)
 
 
 def make_planes(n_planes: int, dim: int = 64, seed: int = 42) -> np.ndarray:
@@ -60,9 +94,26 @@ def make_planes(n_planes: int, dim: int = 64, seed: int = 42) -> np.ndarray:
     return planes
 
 
+def _dlit(v: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-tripping
+    decimal and both Python and Spark parse decimal→double with correct
+    rounding, so the parsed Literal is bit-identical to F.lit(float(v))."""
+    return f"{v!r}D"
+
+
 def _plane_dot(vec_col: str, plane: np.ndarray) -> Column:
-    arr = F.array(*[F.lit(float(v)) for v in plane])
-    return _dot(F.col(vec_col), arr)
+    """vec·plane as ONE parsed SQL expression. Building this per-term with
+    Column operators costs hundreds of py4j round trips PER PLANE (~8 s of
+    driver-side query construction for the 15-plane near-dup query — and
+    the bench times build + execute); one F.expr parse is milliseconds.
+    The parsed tree is the same left-associated
+    (((0.0 + x0·p0) + x1·p1) + ...) chain with CAST(vec[k] AS DOUBLE)
+    terms, so the float result is unchanged."""
+    terms = " + ".join(
+        f"CAST({vec_col}[{k}] AS DOUBLE) * {_dlit(float(v))}"
+        for k, v in enumerate(plane)
+    )
+    return F.expr(f"0.0D + {terms}")
 
 
 def _bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
@@ -315,51 +366,189 @@ def embedding_neardup_pairs(
     n_tables: int = 3,
     seed: int = 7,
     dim: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded multi-table LSH:
     candidate pairs share a bucket in ANY of n_tables independent plane
-    sets; the exact cosine filter (≥ threshold) then removes false
+    sets; the exact cosine filter (>= threshold) then removes false
     positives. Scale shape: per-table buckets hold ~n/2^n_planes vectors, so
-    candidate volume is O(n_tables · n²/2^n_planes) — raise n_planes for
+    candidate volume is O(n_tables * n^2/2^n_planes) -- raise n_planes for
     corpus growth and add tables to hold recall, instead of letting one
-    low-plane table go quadratic."""
-    # one plan subtree: per-table buckets from a single explode instead of
-    # an n_tables-way union (which re-scans the corpus per table per join
-    # side — 2·n_tables scans)
+    low-plane table go quadratic.
+
+    Plan shape (round 7): the heavy per-candidate work never crosses an
+    exchange. Every vector carries its bucket in EVERY table, so the
+    cross-table dedup that used to be a corpus-scale dropDuplicates
+    becomes the LOCAL join predicate "emit the pair only in the LOWEST
+    table where the two sides share a bucket" -- each distinct pair
+    surfaces exactly once, with no (vec_a, vec_b) exchange in the plan at
+    all. Candidate pairs come from one broadcast hash join of the bucketed
+    (id, buckets) table with itself (equi-keys (table_no, bucket), bare id
+    pairs out); embeddings and their PRE-COMPUTED per-vector norms are
+    then attached from a persisted one-row-per-vector projection via two
+    broadcast hash joins, and the exact cosine runs once per distinct pair
+    in the same stage. The old shape shuffled + sort-aggregated every
+    candidate row WITH both embeddings (~70x the bytes of the id pair):
+    121 s -> ~7.5 s at 20 k vectors / 18.7 M candidates, sf1.0. The pair
+    set, the cosine expression tree and therefore the results are
+    IDENTICAL (pinned in tests/test_training_ops.py).
+
+    max_bucket_size: OPT-IN hot-bucket star cap (None = exact all-pairs
+    semantics, the default -- pair-level consumers keep every within-bucket
+    candidate). Connected-components consumers may set a cap: buckets
+    holding more than this many vectors emit a connectivity-preserving STAR
+    (bucket-min x rest, m-1 rows) instead of m^2/2 all-pairs, which keeps
+    downstream components identical while bounding the candidate volume a
+    cluster of m near-identical embeddings can produce (identical vectors
+    share every bucket no matter how many planes, so n_planes alone cannot
+    prevent the blowup)."""
+    n_part = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+    bucket_cols = [
+        _bucket_expr(
+            "embedding", make_planes(n_planes, dim, seed + 7919 * t)
+        ).alias(f"_b{t}")
+        for t in range(n_tables)
+    ]
+    all_b = [f"_b{t}" for t in range(n_tables)]
     table_structs = [
         F.struct(
-            F.lit(t).alias("table_no"),
-            _bucket_expr(
-                "embedding", make_planes(n_planes, dim, seed + 7919 * t)
-            ).alias("bucket"),
+            F.lit(t).alias("table_no"), F.col(f"_b{t}").alias("bucket")
         )
         for t in range(n_tables)
     ]
-    stacked = embeddings.select(
-        "vec_id", "embedding", F.explode(F.array(*table_structs)).alias("t")
-    ).select(
-        "vec_id",
-        "embedding",
-        F.col("t.table_no").alias("table_no"),
-        F.col("t.bucket").alias("bucket"),
-    )
-    a, b = stacked.alias("a"), stacked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.table_no") == F.col("b.table_no"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    def _stacked(with_payload: bool) -> DataFrame:
+        # one corpus pass: per-vector buckets for ALL tables, exploded to
+        # one row per (vector, table); the payload variant carries the
+        # embedding and its norm (computed ONCE per vector -- the same
+        # expression the per-pair evaluation used, so bit-identical)
+        payload = (
+            ["embedding", _norm("embedding", dim).alias("nrm")]
+            if with_payload
+            else []
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("ea"),
-            F.col("b.embedding").alias("eb"),
+        base = embeddings.select("vec_id", *payload, *bucket_cols)
+        pay_names = ["embedding", "nrm"] if with_payload else []
+        return base.select(
+            "vec_id",
+            *pay_names,
+            *all_b,
+            F.explode(F.array(*table_structs)).alias("t"),
+        ).select(
+            "vec_id",
+            *pay_names,
+            *all_b,
+            F.col("t.table_no").alias("table_no"),
+            F.col("t.bucket").alias("bucket"),
         )
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
-    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+
+    if max_bucket_size is None:
+        # EXACT path: shuffle-free pair generation, 2 corpus scans. The
+        # stream side is explicitly repartitioned: it derives from a
+        # single-file scan, and round-robin spreads hot buckets' pair
+        # fan-out evenly across the cluster. The join emits bare id pairs
+        # (16 B/row); the embeddings + norms are attached afterwards from a
+        # PERSISTED one-row-per-vector projection (two broadcast builds off
+        # the cache, not two more corpus scans) — measured 7.5 s vs 12.7 s
+        # for carrying the payloads through the pair join itself, and vs
+        # 121 s for the old shuffle-the-payload shape. Cache lifetime
+        # follows the module convention (see operators/dedup.py docstring):
+        # left alive for the session; callers running many one-shot queries
+        # clear it (bench.py calls spark.catalog.clearCache()).
+        stacked = _stacked(with_payload=False)
+        left = stacked.repartition(n_part)
+        right = F.broadcast(
+            stacked.select(
+                F.col("vec_id").alias("r_vec_id"),
+                *[F.col(b).alias(f"r{b}") for b in all_b],
+                F.col("table_no").alias("r_table_no"),
+                F.col("bucket").alias("r_bucket"),
+            )
+        )
+        canonical = F.lit(False)
+        for t in range(n_tables):
+            c: Column = F.col("table_no") == t
+            for tp in range(t):
+                c = c & (F.col(f"_b{tp}") != F.col(f"r_b{tp}"))
+            canonical = canonical | c
+        pairs = left.join(
+            right,
+            (F.col("table_no") == F.col("r_table_no"))
+            & (F.col("bucket") == F.col("r_bucket"))
+            & (F.col("vec_id") < F.col("r_vec_id"))
+            & canonical,
+        ).select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("r_vec_id").alias("vec_b"),
+        )
+        emb = embeddings.select(
+            "vec_id", "embedding", _norm("embedding", dim).alias("nrm")
+        ).persist()
+        ea = emb.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        eb = emb.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        cand = pairs.join(F.broadcast(ea), "vec_a").join(
+            F.broadcast(eb), "vec_b"
+        )
+    else:
+        # CAPPED path (opt-in, for components consumers): per-bucket array
+        # combinatorics with the star cap, then pair-level dedup (the cap
+        # bounds the volume, so the exchange is small by construction) and
+        # two broadcast joins to attach the embeddings for the verify.
+        stacked = _stacked(with_payload=False)
+        buckets = stacked.groupBy("table_no", "bucket").agg(
+            F.sort_array(F.collect_list("vec_id")).alias("vs")
+        )
+        # The bucket table is a few KB (2^n_planes * n_tables rows), so AQE
+        # size-based coalescing would collapse the downstream pair explode
+        # -- up to max_bucket_size^2/2 rows PER bucket row -- onto 1-2
+        # tasks. A user repartition by the bucket key is exempt from AQE
+        # coalescing and spreads the explode across the cluster.
+        buckets = buckets.repartition(n_part, "table_no", "bucket")
+        all_pairs = F.expr(
+            "flatten(transform(vs, (x, i) -> "
+            "transform(slice(vs, i + 2, size(vs)), "
+            "y -> struct(x as vec_a, y as vec_b))))"
+        )
+        star_pairs = F.expr(
+            "transform(slice(vs, 2, size(vs)), "
+            "y -> struct(vs[0] as vec_a, y as vec_b))"
+        )
+        pair_expr = F.when(
+            F.size("vs") <= max_bucket_size, all_pairs
+        ).otherwise(star_pairs)
+        pairs = (
+            buckets.select(F.explode(pair_expr).alias("p"))
+            .select("p.vec_a", "p.vec_b")
+            .dropDuplicates(["vec_a", "vec_b"])
+        )
+        emb = embeddings.select(
+            "vec_id", "embedding", _norm("embedding", dim).alias("nrm")
+        )
+        ea = emb.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        eb = emb.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        cand = pairs.join(F.broadcast(ea), "vec_a").join(
+            F.broadcast(eb), "vec_b"
+        )
+    # per-pair dot stays the higher-order form: measured 2x FASTER than a
+    # 64-term unrolled chain here (the unrolled Project falls out of
+    # whole-stage codegen into per-node interpreted eval)
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         cand.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)

@@ -294,24 +294,34 @@ def whittaker_gapfill(
                 W[b, idx] = 1.0
             lens = np.asarray([series[r][3] for r in batch], dtype=np.int64)
             Z = whittaker_solve(Y, W, lmbd, lengths=lens)
-            for b, r in enumerate(batch):
-                src, doc, ep0, n, _, _ = series[r]
-                take = (
-                    np.arange(0, n, sample_every)
-                    if sample_every
-                    else np.arange(n)
+            # Assemble the WHOLE batch's dense-grid output in one
+            # vectorized pass: the per-series pd.DataFrame construction
+            # (~0.4 ms each) used to dominate kernel CPU — ~10 CPU-s for
+            # 25 k series at sf1.0 — while the values themselves are a
+            # single fancy-index into Z. Grid values are unchanged:
+            # grid positions are 0, step, 2·step, ... per series exactly
+            # as the old per-series arange produced.
+            step = sample_every or 1
+            out_lens = (lens + step - 1) // step
+            total = int(out_lens.sum())
+            row_idx = np.repeat(np.arange(S), out_lens)
+            offs = np.r_[0, np.cumsum(out_lens)[:-1]]
+            gpos = (np.arange(total) - offs[row_idx]) * step
+            ep0s = np.asarray([series[r][2] for r in batch], dtype=np.int64)
+            src_b = np.asarray([series[r][0] for r in batch], dtype=object)
+            doc_b = np.asarray([series[r][1] for r in batch], dtype=object)
+            out_frames.append(
+                pd.DataFrame(
+                    {
+                        "source": src_b[row_idx],
+                        "doc_id": doc_b[row_idx],
+                        "ts": pd.to_datetime(
+                            (ep0s[row_idx] + grid_seconds * gpos) * 10**9
+                        ),
+                        "value_smooth": Z[row_idx, gpos],
+                    }
                 )
-                grid = ep0 + grid_seconds * take
-                out_frames.append(
-                    pd.DataFrame(
-                        {
-                            "source": src,
-                            "doc_id": doc,
-                            "ts": pd.to_datetime(grid * 10**9),
-                            "value_smooth": Z[b, take],
-                        }
-                    )
-                )
+            )
         return pd.concat(out_frames, ignore_index=True)
 
     from ..session import default_groups, repartition_for_kernel

@@ -70,6 +70,24 @@ def repartition_for_kernel(df, *keys):
     return df.repartition(n, *keys)
 
 
+def fanout_partitions(df, per_core: int = 2):
+    """Scale-adaptive fan-out for CPU-bound mapInPandas kernels.
+
+    Parquet row groups are atomic scan units, so a single-file/
+    single-row-group input yields ONE scan partition no matter what
+    maxPartitionBytes says — and a mapInPandas kernel then runs on one
+    core. When the upstream plan has fewer partitions than the session's
+    parallelism, round-robin repartition to defaultParallelism × per_core;
+    inputs that are already wide keep their partitioning (no shuffle, the
+    100-TB case where the corpus arrives in thousands of files). Kernel
+    results must be partitioning-independent (per-row / per-group
+    semantics), which every caller here guarantees by construction."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism * per_core)
+
+
 def get_spark(
     app_name: str = "fusets-spark",
     cores: int | None = None,
