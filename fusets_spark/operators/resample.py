@@ -32,9 +32,15 @@ def resample(
     reducer: 'mean' or 'median' (exact), like the reference's two reducers.
     Output: (source, doc_id, bucket_ts, value, n_obs).
     """
+    from ..session import fanout_partitions
+
     unit = _TRUNC[interval]
     v = F.col(value_col)
     red = {"mean": F.avg(v), "median": F.median(v)}[reducer]
+    # keyed fan-out: parallelizes the aggregation over narrow scans while
+    # keeping exchange count and per-group row order identical (the exact
+    # median additionally never depends on order)
+    df = fanout_partitions(df, keys=SERIES_KEYS)
     return (
         df.groupBy(*SERIES_KEYS, F.date_trunc(unit, "ts").alias("bucket_ts"))
         .agg(red.alias(value_col), F.count(v).alias("n_obs"))
@@ -49,9 +55,12 @@ def group_by_calendar(
 ) -> DataFrame:
     """Calendar group-reduce across years (reference _phenolopy.py:514-598):
     group by month-of-year (or week-of-year) pooling all years."""
+    from ..session import fanout_partitions
+
     v = F.col(value_col)
     key = {"month": F.month("ts"), "week": F.weekofyear("ts")}[part]
     red = {"mean": F.avg(v), "median": F.median(v)}[reducer]
+    df = fanout_partitions(df, keys=SERIES_KEYS)
     return (
         df.groupBy(*SERIES_KEYS, key.alias(part))
         .agg(red.alias(value_col), F.count(v).alias("n_obs"))

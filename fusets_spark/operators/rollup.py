@@ -57,6 +57,12 @@ def rollup_from_raw(
     Output: (source, doc_id, bucket_ts, n_obs, sum_val, min_val, max_val,
              first_val, last_val, avg_val)
     """
+    from ..session import fanout_partitions
+
+    # Narrow scans (one parquet row group) would otherwise run the whole
+    # map-side aggregation on one core; the keyed fan-out keeps exchange
+    # count AND per-group row order identical (see fanout_partitions).
+    points = fanout_partitions(points, keys=tuple(SERIES_KEYS))
     seconds = TIERS[tier]
     bucket_ts = F.timestamp_seconds(
         F.unix_timestamp("ts") - F.pmod(F.unix_timestamp("ts"), F.lit(seconds))

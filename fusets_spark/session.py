@@ -70,22 +70,32 @@ def repartition_for_kernel(df, *keys):
     return df.repartition(n, *keys)
 
 
-def fanout_partitions(df, per_core: int = 2):
-    """Scale-adaptive fan-out for CPU-bound mapInPandas kernels.
+def fanout_partitions(df, per_core: int = 2, keys: tuple[str, ...] = ()):
+    """Scale-adaptive fan-out for work fused into a narrow scan stage.
 
     Parquet row groups are atomic scan units, so a single-file/
     single-row-group input yields ONE scan partition no matter what
-    maxPartitionBytes says — and a mapInPandas kernel then runs on one
-    core. When the upstream plan has fewer partitions than the session's
-    parallelism, round-robin repartition to defaultParallelism × per_core;
-    inputs that are already wide keep their partitioning (no shuffle, the
-    100-TB case where the corpus arrives in thousands of files). Kernel
-    results must be partitioning-independent (per-row / per-group
-    semantics), which every caller here guarantees by construction."""
+    maxPartitionBytes says — and everything fused into the scan stage
+    (mapInPandas kernels, map-side partial aggregation, per-row expression
+    evaluation) then runs on one core. When the upstream plan has fewer
+    partitions than the session's parallelism, repartition to
+    defaultParallelism × per_core; inputs that are already wide keep their
+    partitioning (no shuffle — the 100-TB case, where the corpus arrives
+    in thousands of files).
+
+    keys: hash-repartition by these columns instead of round-robin. For a
+    downstream groupBy whose keys are a superset, the hash partitioning
+    satisfies the aggregation's ClusteredDistribution, so the groupBy adds
+    NO second exchange — same exchange count as the unfanned plan — and,
+    because a SINGLE upstream map task feeds each reducer one
+    order-preserving block, every group still sees its rows in scan order:
+    float aggregates (rounded sums/avgs) stay bit-identical to the
+    single-partition plan. Round-robin (no keys) is for per-row kernels
+    whose results are partitioning-independent by construction."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() >= sc.defaultParallelism:
         return df
-    return df.repartition(sc.defaultParallelism * per_core)
+    return df.repartition(sc.defaultParallelism * per_core, *keys)
 
 
 def get_spark(
