@@ -270,7 +270,14 @@ def q_stream_block_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would accumulate full event-table copies in /tmp across rounds
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     work = f"/tmp/fusets_stream_blocks_{tag}"
-    sealed = seal_all_with_sentinels(spark, pts, work, block_seconds=86400)
+    # sink='parquet' is the exactly-once production path (blocks stream
+    # straight to files; the return is a plain scan of the sink) — the
+    # memory sink held every sealed block on the driver and re-parallelized
+    # it (guide §5: no driver materialization on a data path). Byte
+    # identity between the two sinks is pinned in tests/test_streaming.py.
+    sealed = seal_all_with_sentinels(
+        spark, pts, work, block_seconds=86400, sink="parquet"
+    )
     return decode_blocks(sealed).select(
         "source",
         "doc_id",
@@ -1253,14 +1260,17 @@ def q_retention_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week", F.weekofyear("bucket_ts")
     )
     store = TierStore(tempfile.mkdtemp(prefix="fusets_retention_"))
-    weeks = sorted(
-        r["week"] for r in t1m.select("week").distinct().collect()
-    )  # bounded: one row per calendar week in the data
-    for w in weeks:
-        bid = f"w{w:02d}"
-        store.write_batch(
-            t1m.filter(F.col("week") == w).drop("week"), "1m", bid, "cfg"
-        )
+    # r7: one partitioned write + one grouped stats pass for ALL weekly
+    # batches (write_batches) — the per-week write_batch loop re-executed
+    # the full rollup AND ran a stats job per week: 2 jobs × ~52 weeks
+    # for seconds of data. Protocol, layout and manifest contents are
+    # identical (order-insensitive stats; equivalence pinned in
+    # tests/test_resume.py).
+    batched = t1m.withColumn(
+        "_batch", F.format_string("w%02d", F.col("week"))
+    ).drop("week")
+    mans = store.write_batches(batched, "1m", "_batch", "cfg")
+    for bid in sorted(mans):
         store.commit_watermark("1m", bid)
     now = str(pts.agg(F.max("ts")).collect()[0][0])
     store.apply_retention({"1m": 10 * 86400.0}, now)

@@ -607,47 +607,98 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs sharing ≥1 NON-HOT shingle.
 
-    Scale path: candidate generation self-joins only on shingles whose
-    document frequency ≤ max_doc_freq — a boilerplate shingle shared by m
-    docs would otherwise contribute m²/2 join rows. The Jaccard value is
-    then computed EXACTLY over the candidates' full shingle sets (hot
-    shingles included), so the cap only bounds candidate generation; pairs
-    whose overlap is exclusively boilerplate are the accepted recall loss."""
-    # the distinct shingle table feeds candidate generation (x2 join
-    # sides), the frequency cap, the exact-intersection join (x2) and the
-    # per-doc sizes — persist it once instead of re-deriving the explode +
-    # distinct six times (MEMORY_AND_DISK by default; at corpus scale this
-    # is the materialized shingle index)
+    Scale path: candidate generation groups docs per shingle and emits
+    within-group pair combinatorics only for shingles whose document
+    frequency ≤ max_doc_freq — a boilerplate shingle shared by m docs
+    would otherwise contribute m²/2 rows. The Jaccard value is computed
+    EXACTLY over the candidates' full shingle sets (hot shingles
+    included), so the cap only bounds candidate generation; pairs whose
+    overlap is exclusively boilerplate are the accepted recall loss.
+
+    r7 shape (guide §3.3, §8): the old exact-intersection step joined
+    every candidate pair against BOTH docs' full shingle sets
+    (candidates × shingles-per-doc intermediate rows — 72 M rows at
+    sf0.1 for 1.1 M candidates, 17.7 s). The shared-RARE-shingle count
+    per pair already falls out of the pair-generation explode itself
+    (the shingle table is distinct per doc, so counting a pair's
+    emissions counts its shared rare shingles), and the hot remainder is
+    a per-doc hot-shingle ARRAY (hot shingles are few by definition)
+    attached to each pair once: n_inter = n_rare + |hot_a ∩ hot_b|.
+    Exact same candidates, exact same Jaccard; the candidate × shingle
+    blow-up join is gone."""
+    # the distinct shingle table feeds the per-shingle doc lists, the
+    # hot-membership join and the per-doc sizes — persist it instead of
+    # re-deriving the explode + distinct per consumer (MEMORY_AND_DISK;
+    # at corpus scale this is the materialized shingle index)
     sh = _doc_shingles(docs, shingle_words).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    rare = sh.join(
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_doc_freq)
-        .select("shingle"),
-        "shingle",
+    groups = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds")
     )
-    a, b = rare.alias("a"), rare.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+    # rare shingles: emit each within-group (doc_a < doc_b) pair; the
+    # per-pair emission count IS the shared-rare-shingle count. The
+    # explode input is a tiny aggregated table — round-robin repartition
+    # (AQE-exempt) so the pair expansion runs wide, not on the 1-2 tasks
+    # AQE's size-based coalescing would leave.
+    n_fan = docs.sparkSession.sparkContext.defaultParallelism * 4
+    rare_pairs = (
+        groups.filter(F.size("ds") <= max_doc_freq)
+        .repartition(n_fan)
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x as doc_a, y as doc_b))))"
+                )
+            ).alias("p")
         )
-        .distinct()
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_rare"))
     )
-    # exact intersection size over FULL shingle sets, per candidate pair
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    # hot remainder: per-doc sorted array of its hot shingles (distinct
+    # hot shingles are few — that is what makes them hot), attached to
+    # each candidate pair once; pairs sharing only hot shingles are NOT
+    # candidates (unchanged contract). Gated on a BOUNDED scalar action
+    # (count of the aggregated shingle-frequency table, also warms the
+    # persisted shingle index): corpora with no over-cap shingle skip
+    # the two pair-table joins entirely — they would join against an
+    # empty side yet still shuffle every candidate pair twice.
+    n_hot = groups.filter(F.size("ds") > max_doc_freq).count()
+    if n_hot == 0:
+        inter = rare_pairs.select(
+            "doc_a", "doc_b", F.col("n_rare").alias("n_inter")
+        )
+    else:
+        hot_sets = (
+            sh.join(
+                groups.filter(F.size("ds") > max_doc_freq).select("shingle"),
+                "shingle",
+            )
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("shingle")).alias("hs"))
+        )
+        ha = hot_sets.select(
+            F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha")
+        )
+        hb = hot_sets.select(
+            F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb")
+        )
+        inter = (
+            rare_pairs.join(ha, "doc_a", "left")
+            .join(hb, "doc_b", "left")
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("n_rare")
+                    + F.when(
+                        F.col("ha").isNotNull() & F.col("hb").isNotNull(),
+                        F.size(F.array_intersect("ha", "hb")).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                ).alias("n_inter"),
+            )
+        )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     out = (

@@ -106,27 +106,47 @@ def phenometrics(
     w = Window.partitionBy(*SERIES_KEYS)
     wo = Window.partitionBy(*SERIES_KEYS).orderBy("ts")
 
-    # --- stage 1: per-row annotations
-    pos = F.max(F.struct(v.alias("v"), (-doy).alias("nd"))).over(w)
-    vos = F.min(F.struct(v.alias("v"), doy.alias("d"))).over(w)
+    # --- stage 1: per-row annotations.
+    # Window-op economy (r7): every withColumn that references a window
+    # aggregate makes Catalyst emit a SEPARATE Window operator (it does not
+    # CSE identical window expressions across projections), and each Window
+    # operator is a full buffered pass over every partition. Independent
+    # same-spec window expressions are therefore batched into ONE select —
+    # the struct aggregates (pos/vos, the sos/eos argmins) are computed
+    # once and their fields extracted in a later projection, instead of
+    # re-running max/min_by per extracted field. Values are unchanged:
+    # this is pure common-subexpression elimination.
+    ann = df.withColumn("doy", doy).select(
+        "*",
+        F.max(F.struct(v.alias("v"), (-F.col("doy")).alias("nd")))
+        .over(w)
+        .alias("_pos"),
+        F.min(F.struct(v.alias("v"), F.col("doy").alias("d")))
+        .over(w)
+        .alias("_vos"),
+        F.lead(v).over(wo).alias("next_v"),
+        F.lead(F.dayofyear("ts")).over(wo).alias("next_doy"),
+    )
     ann = (
-        df.withColumn("doy", doy)
-        .withColumn("pos_value", pos["v"])
-        .withColumn("pos_doy", -pos["nd"])
-        .withColumn("vos_value", vos["v"])
-        .withColumn("vos_doy", vos["d"])
-        .withColumn("next_v", F.lead(v).over(wo))
-        .withColumn("next_doy", F.lead(F.dayofyear("ts")).over(wo))
+        ann.withColumn("pos_value", F.col("_pos")["v"])
+        .withColumn("pos_doy", -F.col("_pos")["nd"])
+        .withColumn("vos_value", F.col("_vos")["v"])
+        .withColumn("vos_doy", F.col("_vos")["d"])
+        .drop("_pos", "_vos")
     )
     ml = F.when(F.col("doy") <= F.col("pos_doy"), v)  # left-slope mask
     mr = F.when(F.col("doy") >= F.col("pos_doy"), v)  # right-slope mask
     dcol = F.col("doy").cast("double")
+    ann = ann.withColumn("ml", ml).withColumn("mr", mr)
+    # both gradients in one projection: their lag/lead window expressions
+    # share spec `wo` and collapse into a single Window operator
+    ann = ann.select(
+        "*",
+        _gradient(F.col("ml"), dcol, wo).alias("grad_l"),
+        _gradient(F.col("mr"), dcol, wo).alias("grad_r"),
+    )
     ann = (
-        ann.withColumn("ml", ml)
-        .withColumn("mr", mr)
-        .withColumn("grad_l", _gradient(F.col("ml"), dcol, wo))
-        .withColumn("grad_r", _gradient(F.col("mr"), dcol, wo))
-        .withColumn(
+        ann.withColumn(
             "cand_l", F.col("ml").isNotNull() & (F.col("grad_l") > 0)
         )
         .withColumn(
@@ -140,26 +160,24 @@ def phenometrics(
 
     # --- stage 2: per-series scalars as WINDOW columns (same partitioning
     # as stage 1 => the whole operator is ONE scan + ONE exchange; the old
-    # groupBy + join-back shape re-scanned and re-shuffled the input 7x)
+    # groupBy + join-back shape re-scanned and re-shuffled the input 7x).
+    # All six aggregates share spec `w` and are mutually independent: one
+    # select -> one Window operator (was three).
+    ann = ann.select(
+        "*",
+        F.min("ml").over(w).alias("_min_l"),
+        F.min("mr").over(w).alias("_min_r"),
+        F.avg(F.when(F.col("ml") >= 0.8 * F.col("pos_value"), F.col("ml")))
+        .over(w)
+        .alias("_mos_l"),
+        F.avg(F.when(F.col("mr") >= 0.8 * F.col("pos_value"), F.col("mr")))
+        .over(w)
+        .alias("_mos_r"),
+        F.sum("trap_term").over(w).alias("liot_value"),
+        F.sum(F.col("next_doy") - F.col("doy")).over(w).alias("_span_total"),
+    )
     ann = (
-        ann.withColumn("_min_l", F.min("ml").over(w))
-        .withColumn("_min_r", F.min("mr").over(w))
-        .withColumn(
-            "mos_value",
-            (
-                F.avg(
-                    F.when(F.col("ml") >= 0.8 * F.col("pos_value"), F.col("ml"))
-                ).over(w)
-                + F.avg(
-                    F.when(F.col("mr") >= 0.8 * F.col("pos_value"), F.col("mr"))
-                ).over(w)
-            )
-            / 2,
-        )
-        .withColumn("liot_value", F.sum("trap_term").over(w))
-        .withColumn(
-            "_span_total", F.sum(F.col("next_doy") - F.col("doy")).over(w)
-        )
+        ann.withColumn("mos_value", (F.col("_mos_l") + F.col("_mos_r")) / 2)
         .withColumn("bse_value", (F.col("_min_l") + F.col("_min_r")) / 2)
         .withColumn("aos_value", F.col("pos_value") - F.col("bse_value"))
         .withColumn(
@@ -237,13 +255,25 @@ def phenometrics(
             ),
         ).over(w)
 
-    has_l = F.max(F.col("cand_l").cast("int")).over(w) == 1
-    has_r = F.max(F.col("cand_r").cast("int")).over(w) == 1
+    # one Window operator: both argmin structs + both candidate-presence
+    # flags share spec `w` (was four operators, each min_by/max running a
+    # full pass — and each min_by was computed TWICE, once per extracted
+    # field)
+    ann = ann.select(
+        "*",
+        F.max(F.col("cand_l").cast("int")).over(w).alias("_has_l"),
+        F.max(F.col("cand_r").cast("int")).over(w).alias("_has_r"),
+        _argmin("cand_l", dist_l).alias("_sos"),
+        _argmin("cand_r", dist_r).alias("_eos"),
+    )
+    has_l = F.col("_has_l") == 1
+    has_r = F.col("_has_r") == 1
     ann = (
-        ann.withColumn("sos_value", F.when(has_l, _argmin("cand_l", dist_l)["v"]))
-        .withColumn("sos_doy", F.when(has_l, _argmin("cand_l", dist_l)["d"]))
-        .withColumn("eos_value", F.when(has_r, _argmin("cand_r", dist_r)["v"]))
-        .withColumn("eos_doy", F.when(has_r, _argmin("cand_r", dist_r)["d"]))
+        ann.withColumn("sos_value", F.when(has_l, F.col("_sos")["v"]))
+        .withColumn("sos_doy", F.when(has_l, F.col("_sos")["d"]))
+        .withColumn("eos_value", F.when(has_r, F.col("_eos")["v"]))
+        .withColumn("eos_doy", F.when(has_r, F.col("_eos")["d"]))
+        .drop("_has_l", "_has_r", "_sos", "_eos")
     )
     los = F.col("eos_doy") - F.col("sos_doy")
     ann = (
@@ -272,19 +302,15 @@ def phenometrics(
     in_season = (F.col("doy") >= F.col("sos_doy")) & (
         F.col("next_doy") <= F.col("eos_doy")
     )
-    ann = (
-        ann.withColumn(
-            "lios_value",
-            F.sum(F.when(in_season, F.col("trap_term"))).over(w),
-        )
-        .withColumn(
-            "_span_season",
-            F.sum(F.when(in_season, F.col("next_doy") - F.col("doy"))).over(w),
-        )
-        .withColumn(
-            "sios_value",
-            F.col("lios_value") - F.col("bse_value") * F.col("_span_season"),
-        )
+    ann = ann.select(
+        "*",
+        F.sum(F.when(in_season, F.col("trap_term"))).over(w).alias("lios_value"),
+        F.sum(F.when(in_season, F.col("next_doy") - F.col("doy")))
+        .over(w)
+        .alias("_span_season"),
+    ).withColumn(
+        "sios_value",
+        F.col("lios_value") - F.col("bse_value") * F.col("_span_season"),
     )
 
     # --- stage 6: one row per series (all metric columns are per-series

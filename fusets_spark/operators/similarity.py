@@ -311,6 +311,63 @@ def _ivf_cell_scores(vec_col: str, centroids: np.ndarray) -> list[Column]:
     return out
 
 
+def _assign_cells_kernel(embeddings: DataFrame, C: np.ndarray) -> DataFrame:
+    """Corpus-side nearest-centroid assignment as a vectorized mapInPandas
+    kernel (guide §4.2). The Catalyst form — array_sort over n_cells
+    structs each holding an unrolled 64-term dot — is a ~1,000-node
+    expression tree that exceeds codegen limits and evaluates INTERPRETED
+    per row (~0.8 ms/row: 16 s for 20k embeddings on one core).
+
+    Bit-identity with the expression form (pinned in
+    tests/test_training_ops.py): the per-cell score accumulates with the
+    SAME left-fold association ((0.0 + t0) + t1) + … — one vectorized
+    axpy per (cell, dim) term, never np.dot (pairwise summation would
+    change ULPs and could flip near-tied argmins) — and np.argmin breaks
+    score ties toward the lower cell index exactly like array_sort's
+    (d, c) struct order."""
+    import pandas as pd
+
+    dim = C.shape[1]
+    n_cells = C.shape[0]
+    n2 = (C * C).sum(axis=1)  # |c|² as float64 (== float(c @ c) per cell)
+
+    def _assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.empty((n, dim), dtype=np.float64)
+            for r, v in enumerate(pdf["embedding"]):
+                a = np.asarray(v, dtype=np.float64)
+                if a.shape[0] != dim:
+                    raise ValueError(
+                        f"embedding length {a.shape[0]} != quantizer dim {dim}"
+                    )
+                V[r] = a
+            scores = np.empty((n, n_cells), dtype=np.float64)
+            for i in range(n_cells):
+                acc = np.zeros(n, dtype=np.float64)
+                for k in range(dim):
+                    acc = acc + V[:, k] * C[i, k]  # exact left-fold order
+                scores[:, i] = n2[i] - 2.0 * acc
+            pdf = pdf.copy()
+            pdf["cell"] = np.argmin(scores, axis=1).astype(np.int32)
+            yield pdf
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from ..session import fanout_partitions
+
+    # fresh StructType: StructType.add MUTATES (and df.schema is cached on
+    # the DataFrame), so extending embeddings.schema in place would corrupt
+    # the source frame's schema for every later use in the same session
+    schema = StructType(
+        list(embeddings.schema.fields)
+        + [StructField("cell", IntegerType(), False)]
+    )
+    return fanout_partitions(embeddings).mapInPandas(_assign, schema=schema)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -335,9 +392,11 @@ def ivf_topk(
         if centroids is not None
         else train_ivf_centroids(embeddings, n_cells, sample, iters)
     )
-    cell = F.element_at(F.array_sort(F.array(*_ivf_cell_scores("embedding", C))), 1)["c"]
-    assigned = embeddings.withColumn("cell", cell)
-    q = assigned.filter(F.col("vec_id") == query_vec_id).select(
+    assigned = _assign_cells_kernel(embeddings, C)
+    # the query row comes from the RAW embeddings (not `assigned`): it only
+    # needs qvec, and deriving it pre-kernel keeps `cell` unambiguous in
+    # the self-joinish candidate join below
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qvec")
     )
     probes = F.slice(

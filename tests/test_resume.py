@@ -532,3 +532,58 @@ def test_policy_driven_compaction(spark, tmp_path):
         spark, m.max_ts, age_seconds=7 * 86400.0, target_seconds=3600
     ) is None
     assert "b-young" in pipe.store.live_batches("blocks")
+
+
+def test_write_batches_equals_write_batch_loop(spark, tmp_path):
+    """write_batches (one partitioned write + one grouped stats pass) must
+    be protocol-equivalent to a write_batch loop: same batch partitions,
+    same read-back rows, and identical manifest count/hash/lo/hi per
+    batch (the order-insensitive stats make the grouped pass exact)."""
+    from pyspark.sql import functions as F
+
+    from fusets_spark.operators.explode import explode_raw
+    from fusets_spark.operators.rollup import rollup_from_raw
+    from fusets_spark.plans.lineage import TierStore
+
+    pts = explode_raw(generate_tokens(spark, 8, seed=5, min_tok=32, max_tok=64))
+    tier = rollup_from_raw(pts, "1m").withColumn(
+        "_batch", F.format_string("g%d", F.pmod(F.xxhash64("doc_id"), F.lit(3)))
+    )
+
+    loop_store = TierStore(str(tmp_path / "loop"))
+    bids = sorted(
+        r["_batch"] for r in tier.select("_batch").distinct().collect()
+    )
+    loop_mans = {}
+    for bid in bids:
+        loop_mans[bid] = loop_store.write_batch(
+            tier.filter(F.col("_batch") == bid).drop("_batch"), "1m", bid, "cfg"
+        )
+        loop_store.commit_watermark("1m", bid)
+
+    bat_store = TierStore(str(tmp_path / "batched"))
+    bat_mans = bat_store.write_batches(tier, "1m", "_batch", "cfg")
+    for bid in sorted(bat_mans):
+        bat_store.commit_watermark("1m", bid)
+
+    assert sorted(bat_mans) == bids
+    for bid in bids:
+        a, b = loop_mans[bid], bat_mans[bid]
+        assert (a.n_rows, a.content_hash, a.min_ts, a.max_ts) == (
+            b.n_rows, b.content_hash, b.min_ts, b.max_ts
+        ), bid
+    cols = [c for c in tier.columns if c != "_batch"]
+    got_a = (
+        spark.read.parquet(loop_store.tier_path("1m"))
+        .orderBy("batch", "source", "doc_id", "bucket_ts")
+        .toPandas()
+    )
+    got_b = (
+        spark.read.parquet(bat_store.tier_path("1m"))
+        .orderBy("batch", "source", "doc_id", "bucket_ts")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got_a[["batch"] + cols].reset_index(drop=True),
+        got_b[["batch"] + cols].reset_index(drop=True),
+    )

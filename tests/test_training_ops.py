@@ -632,3 +632,43 @@ def test_minhash_kernel_matches_expression(spark):
     )
     assert list(a["doc_id"]) == [3, 4]  # <3-word docs absent in both
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivf_cell_kernel_matches_expression(spark):
+    """The vectorized nearest-centroid kernel must assign EXACTLY the cells
+    the Catalyst form (array_sort over per-cell score structs) assigns —
+    same left-fold float association, same tie-break toward the lower cell
+    index."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fusets_spark.operators.similarity import (
+        _assign_cells_kernel,
+        _ivf_cell_scores,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.stack(
+        emb.limit(256).toPandas()["embedding"].map(np.asarray).to_numpy()
+    ).astype(np.float64)
+    C = kmeans_fit(X, 16, 4)
+
+    expr_cell = F.element_at(
+        F.array_sort(F.array(*_ivf_cell_scores("embedding", C))), 1
+    )["c"]
+    want = (
+        emb.withColumn("cell", expr_cell)
+        .select("vec_id", "cell")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        _assign_cells_kernel(emb, C)
+        .select("vec_id", "cell")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (got["cell"].to_numpy() == want["cell"].to_numpy()).all()
