@@ -852,7 +852,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fusets_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    # cap=64 explicitly: the operator default is now None (exact pair
+    # semantics, per the round-6 advisor's contract note); this query's
+    # oracle replays the capped star semantics, so the cap stays here.
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), max_bucket_size=64
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -882,7 +887,11 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # distinct=False: neardup_components distincts its bidirectional edge
     # list, so pair-level dedup here would be a pure extra shuffle stage.
-    return neardup_components(docs, minhash_lsh_pairs(docs, distinct=False))
+    # components consumer: the star cap keeps clusters identical while
+    # bounding hot-bucket pair volume (cap opt-in since round 7).
+    return neardup_components(
+        docs, minhash_lsh_pairs(docs, max_bucket_size=64, distinct=False)
+    )
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -208,11 +208,20 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     shingle_words: int = 3,
-    max_bucket_size: int = 64,
+    max_bucket_size: int | None = None,
     distinct: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ANY LSH band (band key =
     md5 of the band's concatenated minhashes). Self-join per band, a < b.
+
+    RETURN-VALUE CONTRACT: with the default max_bucket_size=None every
+    same-bucket pair is emitted (exact all-pairs semantics — safe for
+    per-pair consumers: exact-Jaccard verification, pair scoring). The
+    cap is OPT-IN because it changes the pair set: HOT buckets
+    (> max_bucket_size docs) emit a STAR instead of all-pairs, which
+    preserves connectivity (components-identical) but DROPS within-bucket
+    candidate pairs — only connected-components consumers should enable
+    it.
 
     HOT-BUCKET frequency cap (the 100-TB boilerplate job-killer): a band
     bucket holding m identical/near-identical docs contributes m²/2
@@ -272,13 +281,16 @@ def minhash_lsh_pairs(
         "transform(slice(ds, 2, size(ds)), "
         "y -> struct(ds[0] as doc_a, y as doc_b))"
     )
-    out = buckets.select(
-        F.explode(
-            F.when(F.size("ds") <= max_bucket_size, all_pairs).otherwise(
-                star_pairs
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
+    pair_expr = (
+        all_pairs
+        if max_bucket_size is None
+        else F.when(F.size("ds") <= max_bucket_size, all_pairs).otherwise(
+            star_pairs
+        )
+    )
+    out = buckets.select(F.explode(pair_expr).alias("p")).select(
+        "p.doc_a", "p.doc_b"
+    )
     # distinct=False skips the cross-band dedup SHUFFLE for consumers that
     # are duplicate-insensitive downstream — neardup_components distincts
     # its (bidirectional) edge list anyway, so the pair-level distinct

@@ -432,11 +432,18 @@ def _parse_filters(body: bytes) -> list[tuple[int, tuple[int, ...]]]:
     out: list[tuple[int, tuple[int, ...]]] = []
     for _ in range(nfilters):
         fid = _u(body, o, 2)
-        name_len = _u(body, o + 2, 2)
         if version == 2 and fid < 256:
-            name_len = 0  # predefined filters carry no name in v2
-        ncv = _u(body, o + 6, 2)
-        o += 8
+            # v2 predefined filters OMIT the Name Length field entirely:
+            # flags at o+2, client-value count at o+4, 6-byte header
+            # (reading ncv at o+6 walked 2 bytes into the client values
+            # and silently dropped the next filter in the pipeline)
+            name_len = 0
+            ncv = _u(body, o + 4, 2)
+            o += 6
+        else:
+            name_len = _u(body, o + 2, 2)
+            ncv = _u(body, o + 6, 2)
+            o += 8
         if name_len:
             o += (name_len + 7) & ~7 if version == 1 else name_len
         cvals = tuple(_u(body, o + 4 * i, 4) for i in range(ncv))
@@ -445,6 +452,25 @@ def _parse_filters(body: bytes) -> list[tuple[int, tuple[int, ...]]]:
             o += 4  # v1 pads client data to 8 bytes
         out.append((fid, cvals))
     return out
+
+
+def _parse_fill(body: bytes) -> bytes | None:
+    """Fill-value message (MSG_FILL) -> raw fill bytes, or None when no
+    fill is defined (HDF5's default fill is then all-zero bytes)."""
+    v = body[0]
+    if v in (1, 2):
+        defined = body[3]
+        if v == 1 or defined:
+            size = _u(body, 4, 4)
+            return bytes(body[8 : 8 + size]) if size else None
+        return None
+    if v == 3:
+        flags = body[1]
+        if flags & 0x20:  # fill value defined
+            size = _u(body, 2, 4)
+            return bytes(body[6 : 6 + size]) if size else None
+        return None
+    raise NotImplementedError(f"fill-value message version {v}")
 
 
 def _unfilter(raw: bytes, filters, mask: int, elem_size: int) -> bytes:
@@ -515,14 +541,25 @@ def _walk_chunk_btree(
         out.append((offsets, mask, child, nbytes))
 
 
+def _fill_scalar(fill: bytes | None, dt: _Dtype):
+    """Dataset fill value as a numpy scalar; HDF5's default (no fill
+    message / undefined fill) is all-zero bytes."""
+    if fill is None or len(fill) != dt.size:
+        return np.zeros((), dtype=dt.np_dtype)[()]
+    return np.frombuffer(fill, dtype=dt.np_dtype, count=1)[0]
+
+
 def _read_chunked(
     buf: bytes, name: str, body: bytes, shape: tuple[int, ...],
-    dt: _Dtype, filters,
+    dt: _Dtype, filters, fill: bytes | None = None,
 ) -> np.ndarray:
     """Chunked layout (v3 class 2): walk the chunk B-tree, inverse-filter
     each chunk (deflate/shuffle/fletcher32 — the standard netCDF-4
     compression stack), assemble onto a padded canvas, crop. Edge chunks
-    are stored FULL-SIZE (fill-padded) per the spec."""
+    are stored FULL-SIZE (fill-padded) per the spec. The canvas starts at
+    the dataset FILL VALUE (netCDF-4 default 9.97e36, or _FillValue), so
+    chunks absent from the B-tree — sparse real-world granules — read as
+    fill like libhdf5, not as silent zeros."""
     ndims = body[2]  # rank + 1 (the trailing element-size dim)
     btree = _u(body, 3, 8)
     cdims = tuple(_u(body, 11 + 4 * i, 4) for i in range(ndims))
@@ -532,7 +569,7 @@ def _read_chunked(
     padded = tuple(
         -(-s // c) * c for s, c in zip(shape, chunk_shape)
     ) or (1,)
-    canvas = np.zeros(padded, dtype=dt.np_dtype)
+    canvas = np.full(padded, _fill_scalar(fill, dt), dtype=dt.np_dtype)
     if btree != UNDEF:
         chunks: list[tuple[tuple[int, ...], int, int, int]] = []
         _walk_chunk_btree(buf, btree, ndims, chunks)
@@ -558,6 +595,8 @@ def _parse_dataset(buf: bytes, name: str, addr: int) -> H5Dataset:
     layout_chunked: bytes | None = None
     filters: list = []
     attrs: dict = {}
+    fill: bytes | None = None
+    unallocated = False
     for mtype, body in msgs:
         if mtype == MSG_DATASPACE:
             shape = _parse_dataspace(body, 0)
@@ -565,6 +604,12 @@ def _parse_dataset(buf: bytes, name: str, addr: int) -> H5Dataset:
             dt = _parse_datatype(body, 0)
         elif mtype == MSG_FILTERS:
             filters = _parse_filters(body)
+        elif mtype == MSG_FILL:
+            fill = _parse_fill(body) or fill
+        elif mtype == MSG_FILL_OLD:
+            size = _u(body, 0, 4)
+            if size:
+                fill = bytes(body[4 : 4 + size])
         elif mtype == MSG_LAYOUT:
             version, lclass = body[0], body[1]
             if version != 3:
@@ -576,9 +621,14 @@ def _parse_dataset(buf: bytes, name: str, addr: int) -> H5Dataset:
                 raw = body[4 : 4 + csize]
             elif lclass == 1:  # contiguous
                 daddr, dsize = _u(body, 2, 8), _u(body, 10, 8)
-                raw = (
-                    b"" if daddr == UNDEF else buf[daddr : daddr + dsize]
-                )
+                if daddr == UNDEF:
+                    # storage never allocated: every element reads as the
+                    # dataset fill value (libhdf5 semantics), not as a
+                    # zero-length buffer that trips frombuffer downstream
+                    unallocated = True
+                    raw = b""
+                else:
+                    raw = buf[daddr : daddr + dsize]
             elif lclass == 2:  # chunked — decoded once shape/dtype known
                 layout_chunked = body
             else:
@@ -604,7 +654,11 @@ def _parse_dataset(buf: bytes, name: str, addr: int) -> H5Dataset:
             "string data only)"
         )
     if layout_chunked is not None:
-        arr = _read_chunked(buf, name, layout_chunked, shape, dt, filters)
+        arr = _read_chunked(
+            buf, name, layout_chunked, shape, dt, filters, fill
+        )
+    elif unallocated:
+        arr = np.full(shape, _fill_scalar(fill, dt), dtype=dt.np_dtype)
     else:
         n = int(np.prod(shape)) if shape else 1
         arr = np.frombuffer(raw, dtype=dt.np_dtype, count=n).reshape(shape)

@@ -269,6 +269,9 @@ def load_sits_geotiff(
         ]
 
     files = spark.read.format("binaryFile").load(path)
+    # bounded driver-side collect: file PATHS only (one short string per
+    # granule — no payload bytes), needed to pair files with the caller's
+    # time axis in natural order before the executor-side parse
     paths = sorted(
         (r["path"] for r in files.select("path").collect()),
         key=_natural_key,
@@ -321,7 +324,19 @@ def load_sits_geotiff(
                 arr = native.astype(np.float64)
                 if page.nodata is not None:
                     nd = np.asarray(page.nodata).astype(native.dtype)
-                    arr[native == nd] = np.nan
+                    # integer rasters: only mask when the tag is exactly
+                    # representable in the native dtype — a wrapping cast
+                    # (e.g. -9999 tagged on a u8/u16 raster) lands on an
+                    # arbitrary in-range value and would NaN out real
+                    # pixels. Float rasters keep the pre-cast compare
+                    # (float32(-9999.9) == float32 tag, by construction).
+                    representable = (
+                        float(nd) == float(page.nodata)
+                        if np.issubdtype(native.dtype, np.integer)
+                        else True
+                    )
+                    if representable:
+                        arr[native == nd] = np.nan
                 bands = (
                     [arr[:, :, b] for b in range(arr.shape[2])]
                     if arr.ndim == 3

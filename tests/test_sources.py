@@ -1152,3 +1152,49 @@ def test_geotiff_truncated_chunks_raise_clearly():
         buf[pos] = 0xFB  # run of 6, not 8
         with _pytest.raises(ValueError, match="decodes? short"):
             read_tiff(bytes(buf))
+
+
+def test_hdf5_v2_filter_pipeline_predefined_layout():
+    """v2 filter descriptions for predefined filters (id < 256) OMIT the
+    Name Length field: flags at +2, client-value count at +4, 6-byte
+    header. The old parse read the count 2 bytes too far and dropped the
+    second filter of a shuffle+deflate pipeline (round-6 advisor)."""
+    import struct
+
+    from fusets_spark.sources.hdf5 import _parse_filters
+
+    body = bytes([2, 2])  # version 2, two filters
+    body += struct.pack("<HHH", 2, 0, 1) + struct.pack("<I", 8)  # shuffle
+    body += struct.pack("<HHH", 1, 0, 1) + struct.pack("<I", 6)  # deflate
+    assert _parse_filters(body) == [(2, (8,)), (1, (6,))]
+
+    # named (id >= 256) filters keep the Name Length field in v2
+    body = bytes([2, 1])
+    body += struct.pack("<HHHH", 256, 4, 0, 1) + b"myf\x00" + struct.pack("<I", 7)
+    assert _parse_filters(body) == [(256, (7,))]
+
+
+def test_hdf5_fill_value_message_and_sparse_canvas():
+    """Fill-value messages decode, and missing chunks / unallocated
+    storage read as the dataset fill value (not silent zeros)."""
+    import struct
+
+    import numpy as np
+
+    from fusets_spark.sources.hdf5 import _Dtype, _fill_scalar, _parse_fill
+
+    nc_fill = struct.pack("<d", 9.96920996838687e36)
+    # v3, flags bit5 = fill defined
+    body = bytes([3, 0x20]) + struct.pack("<I", 8) + nc_fill
+    assert _parse_fill(body) == nc_fill
+    # v3, no fill defined
+    assert _parse_fill(bytes([3, 0x00])) is None
+    # v2, defined flag + size + data
+    body = bytes([2, 2, 2, 1]) + struct.pack("<I", 8) + nc_fill
+    assert _parse_fill(body) == nc_fill
+
+    dt = _Dtype.__new__(_Dtype)
+    dt.size = 8
+    dt.np_dtype = np.dtype("<f8")
+    assert _fill_scalar(nc_fill, dt) == 9.96920996838687e36
+    assert _fill_scalar(None, dt) == 0.0
