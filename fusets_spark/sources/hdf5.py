@@ -458,9 +458,12 @@ def _parse_fill(body: bytes) -> bytes | None:
     """Fill-value message (MSG_FILL) -> raw fill bytes, or None when no
     fill is defined (HDF5's default fill is then all-zero bytes)."""
     v = body[0]
-    if v in (1, 2):
-        defined = body[3]
-        if v == 1 or defined:
+    if v == 1:
+        # v1 has NO Fill Value Defined flag: size directly at offset 3
+        size = _u(body, 3, 4)
+        return bytes(body[7 : 7 + size]) if size else None
+    if v == 2:
+        if body[3]:  # Fill Value Defined flag
             size = _u(body, 4, 4)
             return bytes(body[8 : 8 + size]) if size else None
         return None

@@ -36,6 +36,84 @@ LEVELS = [int(x) for x in os.environ.get("SCALE_LEVELS", "16,32").split(",")]
 CORPUS = f"/tmp/fusets_scale_tokens_{N_DOCS}"
 LATE = f"/tmp/fusets_scale_late_{N_DOCS}"
 STORE = "/tmp/fusets_scale_store"
+# dedup/similarity scale leg (VERDICT r6 #6): replicate the driver's sf0.1
+# text/embedding corpus DEDUP_REPS× with a per-replica vocabulary
+# bijection (text) / fixed dimension permutation (embeddings) —
+# deterministic, preserves each replica's internal near-dup structure,
+# decorrelates replicas (no artificial cross-replica near-dups).
+DEDUP_REPS = int(os.environ.get("SCALE_DEDUP_REPS", "40"))
+DEDUP_BASE = os.environ.get("SCALE_DEDUP_BASE", "/root/testdata/sf0.1")
+DEDUP_DOCS = f"/tmp/fusets_scale_docs_{DEDUP_REPS}x"
+DEDUP_EMB = f"/tmp/fusets_scale_emb_{DEDUP_REPS}x"
+
+
+def _materialize_dedup_corpus() -> None:
+    """One-time (not timed) DEDUP_REPS× replication of the sf0.1
+    documents/embeddings tables; pure pandas/pyarrow, no Spark session."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(DEDUP_DOCS):
+        docs = pq.read_table(
+            os.path.join(DEDUP_BASE, "documents.parquet")
+        ).to_pandas()
+        frames = []
+        for rep in range(DEDUP_REPS):
+            d = docs.copy()
+            d["doc_id"] = d["doc_id"] + rep * 10_000_000
+            if rep:
+                cache: dict[str, str] = {}
+
+                def remap(t, rep=rep, cache=cache):
+                    out = []
+                    for w in t.split(" "):
+                        m = cache.get(w)
+                        if m is None:
+                            m = hashlib.md5(
+                                (w + str(rep)).encode()
+                            ).hexdigest()[: max(8, len(w))]
+                            cache[w] = m
+                        out.append(m)
+                    return " ".join(out)
+
+                d["text"] = d["text"].map(remap)
+                d["n_chars"] = d["text"].str.len()
+            frames.append(d)
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.concat(frames, ignore_index=True), preserve_index=False
+            ),
+            DEDUP_DOCS + ".tmp.parquet",
+        )
+        os.replace(DEDUP_DOCS + ".tmp.parquet", DEDUP_DOCS)
+    if not os.path.exists(DEDUP_EMB):
+        emb = pq.read_table(
+            os.path.join(DEDUP_BASE, "embeddings.parquet")
+        ).to_pandas()
+        frames = []
+        for rep in range(DEDUP_REPS):
+            e = emb.copy()
+            e["vec_id"] = e["vec_id"] + rep * 10_000_000
+            if rep:
+                perm = np.random.RandomState(rep).permutation(64)
+                e["embedding"] = e["embedding"].map(
+                    lambda v: np.asarray(v, dtype=np.float32)[perm]
+                )
+            frames.append(e)
+        t = pa.Table.from_pandas(
+            pd.concat(frames, ignore_index=True), preserve_index=False
+        )
+        t = t.set_column(
+            t.schema.get_field_index("embedding"),
+            "embedding",
+            t.column("embedding").cast(pa.list_(pa.float32())),
+        )
+        pq.write_table(t, DEDUP_EMB + ".tmp.parquet")
+        os.replace(DEDUP_EMB + ".tmp.parquet", DEDUP_EMB)
 # Hard peak-RSS abort (GiB): a run that approaches box memory must FAIL
 # loudly, not swap the whole box into noise (VERDICT r4: the committed
 # local[32] evidence mixed a 131 GiB memory-pressured run on a 128 GiB
@@ -168,6 +246,11 @@ def main() -> None:
         for r, _, fs in os.walk(CORPUS) for f in fs
     )
     prep.stop()
+    print(
+        f"scale: materializing {DEDUP_REPS}x dedup corpus", file=sys.stderr
+    )
+    _materialize_dedup_corpus()
+    out["dedup_reps"] = DEDUP_REPS
 
     for cores in LEVELS:
         spark = _mk_session(cores)
@@ -271,6 +354,53 @@ def main() -> None:
             level["pipeline_e2e_sec"] = round(
                 sum(v for k, v in stages.items() if not k.endswith("_cpu")), 1
             )
+
+            # (3) dedup/similarity training ops over the replicated text/
+            # embedding corpus (VERDICT r6 #6: a local[16]→local[32] point
+            # for the dedup family). Best-of-2 walls, build+execute like
+            # bench.py's training loop (components runs its iterative
+            # actions at build time). The capped (star) configuration is
+            # the components-consumer pipeline being scaled.
+            from fusets_spark.operators.dedup import (
+                minhash_lsh_pairs,
+                neardup_components,
+            )
+            from fusets_spark.operators.similarity import (
+                embedding_neardup_pairs,
+            )
+
+            sdocs = spark.read.parquet(DEDUP_DOCS)
+            semb = spark.read.parquet(DEDUP_EMB)
+            dedup: dict = {"n_docs": sdocs.count(), "n_vecs": semb.count()}
+
+            def _timed_best2(name, build):
+                walls = []
+                for _ in range(2):
+                    t0 = time.monotonic()
+                    _noop_write(build())
+                    walls.append(round(time.monotonic() - t0, 1))
+                    spark.catalog.clearCache()
+                dedup[name] = min(walls)
+                dedup[name + "_samples"] = walls
+
+            _timed_best2(
+                "minhash_lsh",
+                lambda: minhash_lsh_pairs(sdocs, max_bucket_size=64),
+            )
+            _timed_best2(
+                "components",
+                lambda: neardup_components(
+                    sdocs,
+                    minhash_lsh_pairs(
+                        sdocs, max_bucket_size=64, distinct=False
+                    ),
+                ),
+            )
+            _timed_best2(
+                "embedding_neardup",
+                lambda: embedding_neardup_pairs(semb, max_bucket_size=64),
+            )
+            level["dedup"] = dedup
         level["peak_rss_gib"] = round(rss.peak / 2**30, 2)
         level["store_bytes"] = sum(
             os.path.getsize(os.path.join(r, f))

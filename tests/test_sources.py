@@ -1192,6 +1192,11 @@ def test_hdf5_fill_value_message_and_sparse_canvas():
     # v2, defined flag + size + data
     body = bytes([2, 2, 2, 1]) + struct.pack("<I", 8) + nc_fill
     assert _parse_fill(body) == nc_fill
+    # v2, defined flag clear -> no fill
+    assert _parse_fill(bytes([2, 2, 2, 0])) is None
+    # v1: NO defined flag — size directly at offset 3, data at 7
+    body = bytes([1, 2, 2]) + struct.pack("<I", 8) + nc_fill
+    assert _parse_fill(body) == nc_fill
 
     dt = _Dtype.__new__(_Dtype)
     dt.size = 8
