@@ -546,14 +546,21 @@ def q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks that never touch the variable-length codes).
 
     The oracle checks encode∘decode == identity: the restored points must
-    equal the plain projection of the input (SQL-expressible!)."""
-    from fusets_spark.codec.blocks import decode_blocks, encode_blocks
+    equal the plain projection of the input (SQL-expressible!).
+
+    r7: both codec directions run fused in one kernel pass
+    (roundtrip_points — bytes and restored points identical to the
+    chained encode_blocks→decode_blocks, pinned in tests/test_codec.py);
+    the chained form shipped the ~800k-row block table across the
+    Python↔JVM boundary twice for nothing."""
+    from fusets_spark.codec.blocks import roundtrip_points
 
     pts = _event_points(spark, sf_dir).select(
         "source", F.col("doc_id").cast("string").alias("doc_id"), "ts", "value"
     )
-    blocks = encode_blocks(pts, block_seconds=86400)
-    return decode_blocks(blocks).select("source", "doc_id", "ts", "value")
+    return roundtrip_points(pts, block_seconds=86400).select(
+        "source", "doc_id", "ts", "value"
+    )
 
 
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

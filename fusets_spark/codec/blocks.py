@@ -305,6 +305,62 @@ def compact_blocks(
     )
 
 
+def roundtrip_points(
+    points: DataFrame,
+    block_seconds: int = 3600,
+    value_col: str = "value",
+    groups_per_source: int | None = None,
+) -> DataFrame:
+    """encode∘decode in ONE kernel pass — the codec verification path
+    (gorilla_roundtrip). Each group's points are encoded with EXACTLY the
+    batch encoder's grouping/ordering/codec (same bytes as encode_blocks,
+    pinned in tests/test_codec.py) and immediately decoded back; the
+    intermediate block table never crosses the Python↔JVM boundary, which
+    the chained decode_blocks(encode_blocks(...)) pays twice (~800k Arrow
+    rows each way at 1M points). The separate operators remain the store
+    write/read paths; this is pipelining, not a shortcut — every block is
+    fully encoded and fully decoded."""
+
+    def _rt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "ts", value_col], kind="mergesort")
+        epoch_us = (pdf["ts"].astype("int64") // 10**3).to_numpy()
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        docs = pdf["doc_id"].to_numpy()
+        bucket = epoch_us - epoch_us % (block_seconds * 10**6)
+        new_doc = docs[1:] != docs[:-1]
+        new_bkt = np.diff(bucket) != 0
+        cut = np.flatnonzero(new_doc | new_bkt) + 1
+        starts = np.r_[0, cut]
+        ends = np.r_[cut, len(bucket)]
+        blocks = encode_blocks_batched(
+            [epoch_us[s:e] for s, e in zip(starts, ends)],
+            [vals[s:e] for s, e in zip(starts, ends)],
+        )
+        counts, ts, out_vals = decode_blocks_batch(blocks)
+        return pd.DataFrame(
+            {
+                "source": np.repeat(pdf["source"].iloc[0], len(ts)),
+                "doc_id": np.repeat(docs[starts], counts),
+                "ts": pd.to_datetime(ts * 10**3),
+                "value": out_vals,
+            }
+        )
+
+    from ..session import default_groups, repartition_for_kernel
+
+    groups_per_source = groups_per_source or default_groups(
+        points, minimum=256, per_core=8
+    )
+    grouped = points.withColumn(
+        "_g", F.pmod(F.xxhash64("doc_id"), F.lit(groups_per_source))
+    )
+    return (
+        repartition_for_kernel(grouped, "source", "_g")
+        .groupBy("source", "_g")
+        .applyInPandas(_rt, schema=POINTS_SCHEMA)
+    )
+
+
 def decode_blocks(blocks: DataFrame) -> DataFrame:
     """Restore exact points from Gorilla blocks (verification / read path)."""
 

@@ -274,3 +274,42 @@ def test_encode_and_compact_bytes_invariant_to_parallelism(spark):
     c = comp_bag(half, 1, 2)
     d = comp_bag(half[::-1], 11, 5)
     assert c == d
+
+
+def test_roundtrip_points_equals_chained_encode_decode(spark):
+    """The fused roundtrip kernel must restore EXACTLY the rows the
+    chained decode_blocks(encode_blocks(...)) restores — same grouping,
+    same canonical ordering, same codec in both directions."""
+    from pyspark.sql import functions as F
+
+    from fusets_spark.codec.blocks import (
+        decode_blocks,
+        encode_blocks,
+        roundtrip_points,
+    )
+
+    pts = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .select(
+            F.col("event_type").alias("source"),
+            F.col("user_id").cast("string").alias("doc_id"),
+            "ts",
+            "value",
+        )
+    )
+    cols = ["source", "doc_id", "ts", "value"]
+    chained = (
+        decode_blocks(encode_blocks(pts, block_seconds=86400))
+        .select(*cols)
+        .orderBy(*cols)
+        .toPandas()
+    )
+    fused = (
+        roundtrip_points(pts, block_seconds=86400)
+        .select(*cols)
+        .orderBy(*cols)
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        chained.reset_index(drop=True), fused.reset_index(drop=True)
+    )
