@@ -502,59 +502,131 @@ def embedding_neardup_pairs(
         )
 
     if max_bucket_size is None:
-        # EXACT path: shuffle-free pair generation, 2 corpus scans. The
-        # stream side is explicitly repartitioned: it derives from a
-        # single-file scan, and round-robin spreads hot buckets' pair
-        # fan-out evenly across the cluster. The join emits bare id pairs
-        # (16 B/row); the embeddings + norms are attached afterwards from a
-        # PERSISTED one-row-per-vector projection (two broadcast builds off
-        # the cache, not two more corpus scans) — measured 7.5 s vs 12.7 s
-        # for carrying the payloads through the pair join itself, and vs
-        # 121 s for the old shuffle-the-payload shape. Cache lifetime
-        # follows the module convention (see operators/dedup.py docstring):
-        # left alive for the session; callers running many one-shot queries
-        # clear it (bench.py calls spark.catalog.clearCache()).
-        stacked = _stacked(with_payload=False)
-        left = stacked.repartition(n_part)
-        right = F.broadcast(
-            stacked.select(
-                F.col("vec_id").alias("r_vec_id"),
-                *[F.col(b).alias(f"r{b}") for b in all_b],
-                F.col("table_no").alias("r_table_no"),
-                F.col("bucket").alias("r_bucket"),
+        # EXACT path (round 7, second pass): ONE corpus scan feeding a
+        # per-(table, bucket) vectorized kernel that generates the pairs
+        # AND evaluates the exact cosine in numpy. The previous exact
+        # shape (broadcast self-join on bare ids + two broadcast
+        # embedding attaches + per-pair Catalyst fold) was already
+        # exchange-free, but the fold cosine ran INTERPRETED per pair —
+        # ~18.7 M pairs × 64 terms dominated the query at sf1.0. The
+        # kernel computes each pair's dot with the SAME left-fold float
+        # association ((0.0 + t0) + t1) + … — one vectorized
+        # multiply-accumulate per dimension, never np.dot (pairwise
+        # summation would change ULPs near the threshold) — and each
+        # vector's norm comes in as the SAME Catalyst `_norm` expression
+        # the join form attached, so cosines are bit-identical (pinned
+        # against the naive per-table self-join reference in
+        # tests/test_training_ops.py). The threshold filter and the
+        # 6-dp rounding stay in Catalyst on the kernel's raw output, so
+        # NaN/rounding semantics are exactly the join form's (the kernel
+        # over-emits NaN cosines for Catalyst to keep, matching Spark's
+        # NaN-largest comparison order).
+        #
+        # Shuffle cost: each vector crosses the (table_no, bucket)
+        # exchange once per table with its 64-float payload — corpus ×
+        # n_tables bytes, NOT per-pair bytes; the user repartition is
+        # AQE-exempt so the kernel runs wide even though the stacked
+        # table is only a few MB (§2.5). Scale note: a bucket of m
+        # vectors is one kernel group with m²/2 candidate pairs — the
+        # same volume the self-join emitted — chunked so peak memory is
+        # bounded; components consumers at 100-TB scale should use the
+        # opt-in star cap below, which bounds the volume itself.
+        stacked = _stacked(with_payload=True)
+        import pandas as pd
+
+        out_schema = "vec_a long, vec_b long, cos double"
+        prev_b = all_b  # bucket-string columns, table order
+
+        def _bucket_pairs(key, pdf):
+            t = int(key[0])
+            m = len(pdf)
+            if m < 2:
+                return pd.DataFrame(
+                    {
+                        "vec_a": np.array([], np.int64),
+                        "vec_b": np.array([], np.int64),
+                        "cos": np.array([], np.float64),
+                    }
+                )
+            pdf = pdf.sort_values("vec_id", kind="stable")
+            ids = pdf["vec_id"].to_numpy()
+            V = np.empty((m, dim), dtype=np.float64)
+            for r, v in enumerate(pdf["embedding"]):
+                a = np.asarray(v, dtype=np.float64)
+                if a.shape[0] != dim:
+                    raise ValueError(
+                        f"embedding length {a.shape[0]} != dim {dim}"
+                    )
+                V[r] = a
+            nrm = pdf["nrm"].to_numpy()  # Catalyst _norm, attached upstream
+            codes = [
+                pd.factorize(pdf[prev_b[tp]])[0] for tp in range(t)
+            ]
+            outs = [
+                pd.DataFrame(
+                    {
+                        "vec_a": np.array([], np.int64),
+                        "vec_b": np.array([], np.int64),
+                        "cos": np.array([], np.float64),
+                    }
+                )
+            ]
+            # row-banded pair generation: anchors i in [s, e) pair with
+            # every j > i. Band size is chosen so one band's pair count is
+            # ~2^21 — peak scratch stays bounded no matter how hot the
+            # bucket (no O(m²)-at-once triu materialization).
+            band = max(1, (1 << 21) // m)
+            for s in range(0, m - 1, band):
+                e = min(s + band, m - 1)
+                # ia = s,s,…(m-1-s times), s+1,… ; ib = the j > ia runs
+                counts = m - 1 - np.arange(s, e)
+                ia = np.repeat(np.arange(s, e), counts)
+                ib = np.concatenate(
+                    [np.arange(i + 1, m) for i in range(s, e)]
+                )
+                # strictly increasing ids (mirrors vec_id < r_vec_id —
+                # duplicate ids never self-pair); lowest-shared-table
+                # dedup: emit in table t only when the two sides disagree
+                # in EVERY earlier table's bucket
+                keep = ids[ia] < ids[ib]
+                for c in codes:
+                    keep &= c[ia] != c[ib]
+                ia, ib = ia[keep], ib[keep]
+                if len(ia) == 0:
+                    continue
+                acc = np.zeros(len(ia), dtype=np.float64)
+                ta = np.empty(len(ia), dtype=np.float64)
+                tb = np.empty(len(ia), dtype=np.float64)
+                for k in range(dim):
+                    np.take(V[:, k], ia, out=ta)
+                    np.take(V[:, k], ib, out=tb)
+                    ta *= tb
+                    acc += ta  # exact left-fold: ((0+t0)+t1)+…
+                cos = acc / (nrm[ia] * nrm[ib])
+                sel = (cos >= threshold) | np.isnan(cos)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": ids[ia[sel]],
+                            "vec_b": ids[ib[sel]],
+                            "cos": cos[sel],
+                        }
+                    )
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        raw = (
+            stacked.repartition(n_part, "table_no", "bucket")
+            .groupBy("table_no", "bucket")
+            .applyInPandas(_bucket_pairs, schema=out_schema)
+        )
+        return (
+            raw.filter(F.col("cos") >= threshold)
+            .select(
+                "vec_a",
+                "vec_b",
+                (F.round("cos", 6) + F.lit(0.0)).alias("cos"),
             )
-        )
-        canonical = F.lit(False)
-        for t in range(n_tables):
-            c: Column = F.col("table_no") == t
-            for tp in range(t):
-                c = c & (F.col(f"_b{tp}") != F.col(f"r_b{tp}"))
-            canonical = canonical | c
-        pairs = left.join(
-            right,
-            (F.col("table_no") == F.col("r_table_no"))
-            & (F.col("bucket") == F.col("r_bucket"))
-            & (F.col("vec_id") < F.col("r_vec_id"))
-            & canonical,
-        ).select(
-            F.col("vec_id").alias("vec_a"),
-            F.col("r_vec_id").alias("vec_b"),
-        )
-        emb = embeddings.select(
-            "vec_id", "embedding", _norm("embedding", dim).alias("nrm")
-        ).persist()
-        ea = emb.select(
-            F.col("vec_id").alias("vec_a"),
-            F.col("embedding").alias("ea"),
-            F.col("nrm").alias("na"),
-        )
-        eb = emb.select(
-            F.col("vec_id").alias("vec_b"),
-            F.col("embedding").alias("eb"),
-            F.col("nrm").alias("nb"),
-        )
-        cand = pairs.join(F.broadcast(ea), "vec_a").join(
-            F.broadcast(eb), "vec_b"
         )
     else:
         # CAPPED path (opt-in, for components consumers): per-bucket array

@@ -109,15 +109,13 @@ def test_dedup_reuses_materialized_intermediates(spark):
     assert "InMemoryTableScan" not in plan, "minhash: needless cache"
     assert plan.count("FileScan parquet") == 1, "minhash re-scans corpus"
     plan = _plan(mod.queries()["embedding_neardup"](spark, SF))
-    # round 7 contract: two PAIR-GENERATION scans (left + broadcast right
-    # of the id+buckets projection; the per-table union shape had
-    # 2·n_tables) plus the persisted embedding+norm attach projection —
-    # which explain() prints as an InMemoryRelation wrapping one FileScan
-    # per broadcast build, so the printed count is 4 while the executed
-    # plan reads the cache. No corpus-scale exchange may remain: pair
-    # dedup is the local lowest-shared-table join predicate.
-    assert plan.count("FileScan parquet") <= 4, "neardup re-scans per table"
-    assert "InMemoryRelation" in plan, "neardup: attach side not cached"
+    # round 7 contract (second pass): ONE corpus scan into the
+    # per-(table, bucket) pair+cosine kernel — the only exchange is the
+    # small stacked (vector × table) repartition; pair generation, the
+    # lowest-shared-table dedup and the exact cosine all happen inside
+    # FlatMapGroupsInPandas, so no corpus-scale pair exchange may exist.
+    assert plan.count("FileScan parquet") == 1, "neardup re-scans corpus"
+    assert "FlatMapGroupsInPandas" in plan, "neardup: pair kernel missing"
     assert "hashpartitioning(vec_a" not in plan, (
         "neardup: corpus-scale pair exchange crept back in"
     )

@@ -487,11 +487,34 @@ def test_embedding_neardup_hot_bucket_cap_linear(spark):
     assert (got["cos"] == 1.0).all()
 
 
+def test_embedding_neardup_exact_path_identical_cluster(spark):
+    """EXACT path on a cluster of identical embeddings: they share every
+    bucket in every table, so the lowest-shared-table dedup must emit each
+    pair EXACTLY once (in table 0) — m(m-1)/2 pairs, all cos == 1.0. A
+    double emission (missed cross-table dedup) or a miss would change the
+    row count."""
+    from fusets_spark.operators.similarity import embedding_neardup_pairs
+
+    m = 200
+    vec = F.array(*[F.lit(float(k % 7 + 1)) for k in range(64)])
+    emb = spark.range(m).select(
+        F.col("id").alias("vec_id"),
+        vec.cast("array<float>").alias("embedding"),
+    )
+    got = embedding_neardup_pairs(
+        emb, threshold=0.95, n_planes=5, n_tables=3, seed=7, dim=64
+    ).toPandas()
+    assert len(got) == m * (m - 1) // 2
+    assert (got["cos"] == 1.0).all()
+    assert (got["vec_a"] < got["vec_b"]).all()
+    assert not got.duplicated(["vec_a", "vec_b"]).any()
+
+
 def test_embedding_neardup_matches_naive_reference(spark):
-    """The round-7 plan rewrite (local lowest-shared-table dedup + bare-id
-    pair join + cached norm attach) must produce EXACTLY the rows of the
-    naive reference shape: per-table self-join on the bucket, union over
-    tables, dropDuplicates, per-pair cosine — the round-6 semantics."""
+    """The round-7 plan rewrite (per-(table, bucket) pair+cosine kernel
+    with local lowest-shared-table dedup) must produce EXACTLY the rows of
+    the naive reference shape: per-table self-join on the bucket, union
+    over tables, dropDuplicates, per-pair cosine — the round-6 semantics."""
     from fusets_spark.operators.similarity import (
         _bucket_expr,
         _dot,
