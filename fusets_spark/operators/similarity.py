@@ -178,6 +178,79 @@ def lsh_bucket(
     return embeddings.withColumn("bucket", _bucket_expr(vec_col, planes))
 
 
+def _bucket_strings_kernel(
+    df: DataFrame,
+    sets: list[tuple[str, np.ndarray]],
+    dim: int,
+    vec_col: str = "embedding",
+    norm_col: str | None = None,
+) -> DataFrame:
+    """Corpus-side bucket assignment as a vectorized mapInPandas kernel
+    (guide §4.2) — appends one '0'/'1' bucket-string column per
+    (name, planes) set, passing every input column through.
+
+    Why: `_bucket_expr` over P planes is a ~(P·dim·4)-node expression tree
+    (casts + literal products + concat); past codegen's size limits it
+    evaluates INTERPRETED per row — measured 0.8 s for ONE 8-plane set
+    over 20 k vectors, and the near-dup query carries n_tables sets.
+
+    Bit-identity with the expression form (pinned in
+    tests/test_training_ops.py): each plane dot accumulates with the SAME
+    left-fold association ((0.0 + t0) + t1) + … — one vectorized
+    multiply-accumulate per dimension, never np.dot (pairwise summation
+    changes ULPs and could flip a near-zero margin's sign) — against the
+    same float64 plane literals the SQL form embeds, and the bit is
+    strictly `dot > 0` either way. With norm_col set, the L2 norm is
+    emitted too, with `_norm`'s exact association chain."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    def _assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.empty((n, dim), dtype=np.float64)
+            for r, v in enumerate(pdf[vec_col]):
+                a = np.asarray(v, dtype=np.float64)
+                if a.shape[0] != dim:
+                    raise ValueError(
+                        f"embedding length {a.shape[0]} != dim {dim}"
+                    )
+                V[r] = a
+            pdf = pdf.copy()
+            for name, planes in sets:
+                chars = np.empty((n, len(planes)), dtype=np.uint8)
+                for p_i, p in enumerate(planes):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for k in range(dim):
+                        acc += V[:, k] * p[k]  # exact left-fold order
+                    chars[:, p_i] = np.where(acc > 0, ord("1"), ord("0"))
+                pdf[name] = [
+                    bytes(chars[r]).decode("ascii") for r in range(n)
+                ]
+            if norm_col is not None:
+                acc = np.zeros(n, dtype=np.float64)
+                for k in range(dim):
+                    acc += V[:, k] * V[:, k]  # _norm's exact fold
+                pdf[norm_col] = np.sqrt(acc)
+            yield pdf
+
+    # fresh StructType (never .add on a cached schema — it mutates)
+    fields = list(df.schema.fields) + [
+        StructField(name, StringType(), False) for name, _ in sets
+    ]
+    if norm_col is not None:
+        fields.append(StructField(norm_col, DoubleType(), False))
+    return df.mapInPandas(_assign, schema=StructType(fields))
+
+
 def probe_buckets(qvec: np.ndarray, planes: np.ndarray, n_probes: int) -> list[str]:
     """Query bucket + the n_probes buckets at Hamming distance 1 obtained by
     flipping the lowest-|margin| planes (classic multi-probe LSH)."""
@@ -205,10 +278,21 @@ def ann_topk_lsh(
     equi-join against a tiny broadcast probe list replaces the full cross
     join; the probed fraction of the corpus is ~(1 + n_probes)/2^n_planes."""
     planes = make_planes(n_planes, dim, seed)
-    bucketed = lsh_bucket(embeddings, n_planes, seed, dim)
-    q = bucketed.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qvec"),
-        F.col("bucket").alias("qbucket"),
+    # corpus side: kernel bucket assignment (the interpreted ~2,000-node
+    # bucket expression cost 0.8 s per 20 k vectors — guide §4.2); the
+    # 1-row query side keeps the Catalyst expression (filter pushdown
+    # evaluates it for the one probed row only, and the kernel is pinned
+    # bit-identical to it)
+    bucketed = _bucket_strings_kernel(
+        embeddings, [("bucket", planes)], dim
+    )
+    q = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .withColumn("bucket", _bucket_expr("embedding", planes))
+        .select(
+            F.col("embedding").alias("qvec"),
+            F.col("bucket").alias("qbucket"),
+        )
     )
     # Probe set from the query's margins — computed JVM-side on the 1-row
     # broadcast frame: flip the n_probes lowest-|margin| bits one at a time.
@@ -438,19 +522,19 @@ def embedding_neardup_pairs(
     Plan shape (round 7): the heavy per-candidate work never crosses an
     exchange. Every vector carries its bucket in EVERY table, so the
     cross-table dedup that used to be a corpus-scale dropDuplicates
-    becomes the LOCAL join predicate "emit the pair only in the LOWEST
-    table where the two sides share a bucket" -- each distinct pair
-    surfaces exactly once, with no (vec_a, vec_b) exchange in the plan at
-    all. Candidate pairs come from one broadcast hash join of the bucketed
-    (id, buckets) table with itself (equi-keys (table_no, bucket), bare id
-    pairs out); embeddings and their PRE-COMPUTED per-vector norms are
-    then attached from a persisted one-row-per-vector projection via two
-    broadcast hash joins, and the exact cosine runs once per distinct pair
-    in the same stage. The old shape shuffled + sort-aggregated every
-    candidate row WITH both embeddings (~70x the bytes of the id pair):
-    121 s -> ~7.5 s at 20 k vectors / 18.7 M candidates, sf1.0. The pair
-    set, the cosine expression tree and therefore the results are
-    IDENTICAL (pinned in tests/test_training_ops.py).
+    becomes the LOCAL rule "emit the pair only in the LOWEST table where
+    the two sides share a bucket" -- each distinct pair surfaces exactly
+    once, with no (vec_a, vec_b) exchange in the plan at all. The exact
+    path is one scan + one SMALL exchange (corpus x n_tables rows,
+    vector payloads, never per-pair bytes) into a per-(table, bucket)
+    kernel that generates pairs AND evaluates the exact cosine in
+    vectorized numpy with the identical left-fold float association the
+    Catalyst fold used -- results bit-identical to the per-table
+    self-join reference (pinned in tests/test_training_ops.py). History:
+    the round-6 shape shuffled + sort-aggregated every candidate row
+    WITH both embeddings (121 s at 20 k vectors / 18.7 M candidates,
+    sf1.0); the round-7 first pass (broadcast id-pair join + Catalyst
+    fold cosine) reached ~7.5-10.5 s; the kernel path measures ~4.1 s.
 
     max_bucket_size: OPT-IN hot-bucket star cap (None = exact all-pairs
     semantics, the default -- pair-level consumers keep every within-bucket
@@ -462,10 +546,8 @@ def embedding_neardup_pairs(
     share every bucket no matter how many planes, so n_planes alone cannot
     prevent the blowup)."""
     n_part = embeddings.sparkSession.sparkContext.defaultParallelism * 2
-    bucket_cols = [
-        _bucket_expr(
-            "embedding", make_planes(n_planes, dim, seed + 7919 * t)
-        ).alias(f"_b{t}")
+    plane_sets = [
+        (f"_b{t}", make_planes(n_planes, dim, seed + 7919 * t))
         for t in range(n_tables)
     ]
     all_b = [f"_b{t}" for t in range(n_tables)]
@@ -477,16 +559,18 @@ def embedding_neardup_pairs(
     ]
 
     def _stacked(with_payload: bool) -> DataFrame:
-        # one corpus pass: per-vector buckets for ALL tables, exploded to
-        # one row per (vector, table); the payload variant carries the
-        # embedding and its norm (computed ONCE per vector -- the same
-        # expression the per-pair evaluation used, so bit-identical)
-        payload = (
-            ["embedding", _norm("embedding", dim).alias("nrm")]
-            if with_payload
-            else []
+        # one corpus pass: per-vector buckets for ALL tables (assigned by
+        # the vectorized kernel — the n_tables interpreted bucket
+        # expressions cost ~0.8 s per table set at 20 k vectors),
+        # exploded to one row per (vector, table); the payload variant
+        # carries the embedding and its norm (computed ONCE per vector
+        # with `_norm`'s exact fold association, so bit-identical)
+        base = _bucket_strings_kernel(
+            embeddings.select("vec_id", "embedding"),
+            plane_sets,
+            dim,
+            norm_col="nrm" if with_payload else None,
         )
-        base = embeddings.select("vec_id", *payload, *bucket_cols)
         pay_names = ["embedding", "nrm"] if with_payload else []
         return base.select(
             "vec_id",

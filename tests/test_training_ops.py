@@ -37,6 +37,54 @@ def test_lsh_bucket_deterministic_across_partitioning(spark):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_bucket_kernel_matches_expression(spark):
+    """The mapInPandas bucket-assignment kernel must be BIT-IDENTICAL to
+    the `_bucket_expr` Catalyst form on the real corpus, for both the ann
+    plane set and every near-dup table's set, and its norm column must be
+    bit-identical to the `_norm` unrolled expression (int64 bit compare —
+    a single flipped near-zero margin would change a bucket string)."""
+    import numpy as np
+
+    from fusets_spark.operators.similarity import (
+        _bucket_expr,
+        _bucket_strings_kernel,
+        _norm,
+        make_planes,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    sets = [("ann", make_planes(8, 64, 42))] + [
+        (f"_b{t}", make_planes(5, 64, 7 + 7919 * t)) for t in range(3)
+    ]
+    got = (
+        _bucket_strings_kernel(
+            emb.select("vec_id", "embedding"), sets, 64, norm_col="nrm"
+        )
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ref = (
+        emb.select(
+            "vec_id",
+            *[
+                _bucket_expr("embedding", planes).alias(name)
+                for name, planes in sets
+            ],
+            _norm("embedding", 64).alias("nrm"),
+        )
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    for name, _ in sets:
+        assert (got[name] == ref[name]).all(), name
+    assert (
+        got["nrm"].to_numpy().view(np.int64)
+        == ref["nrm"].to_numpy().view(np.int64)
+    ).all()
+
+
 def test_ngram_jaccard_hot_shingle_capped(spark):
     """One boilerplate shingle shared by ALL docs must not make candidate
     generation quadratic: with the doc-frequency cap, pairs whose only
