@@ -38,6 +38,13 @@ POINTS_SCHEMA = "source string, doc_id string, ts timestamp, value double"
 CODEC_NAME = "gorilla-dod-xor-v1"
 
 
+def _dt_ns(ns) -> np.ndarray:
+    """int64 epoch-ns ndarray → datetime64[ns], as a free reinterpret.
+    pd.to_datetime on integer input takes the per-element object path
+    (~0.28 s per million rows); the values are identical."""
+    return np.ascontiguousarray(ns, dtype=np.int64).view("datetime64[ns]")
+
+
 def encode_blocks(
     points: DataFrame,
     block_seconds: int = 3600,
@@ -77,10 +84,10 @@ def encode_blocks(
             {
                 "source": np.repeat(pdf["source"].iloc[0], len(starts)),
                 "doc_id": docs[starts],
-                "bucket_ts": pd.to_datetime(bucket[starts] * 10**3),
+                "bucket_ts": _dt_ns(bucket[starts] * 10**3),
                 "n_points": (ends - starts).astype(np.int64),
-                "min_ts": pd.to_datetime(epoch_us[starts] * 10**3),
-                "max_ts": pd.to_datetime(epoch_us[ends - 1] * 10**3),
+                "min_ts": _dt_ns(epoch_us[starts] * 10**3),
+                "max_ts": _dt_ns(epoch_us[ends - 1] * 10**3),
                 "codec": CODEC_NAME,
                 "block": blocks,
             }
@@ -115,10 +122,10 @@ def block_frame(src_arr, doc_arr, d, ep_us, vals, block_seconds):
         {
             "source": src_arr[d[bs]],
             "doc_id": doc_arr[d[bs]],
-            "bucket_ts": pd.to_datetime(bucket[bs] * 10**3),
+            "bucket_ts": _dt_ns(bucket[bs] * 10**3),
             "n_points": (be - bs).astype(np.int64),
-            "min_ts": pd.to_datetime(ep_us[bs] * 10**3),
-            "max_ts": pd.to_datetime(ep_us[be - 1] * 10**3),
+            "min_ts": _dt_ns(ep_us[bs] * 10**3),
+            "max_ts": _dt_ns(ep_us[be - 1] * 10**3),
             "codec": CODEC_NAME,
             "block": blks,
         }
@@ -230,7 +237,7 @@ def compact_blocks(
                     {
                         "source": src_arr[idx],
                         "doc_id": docs[idx],
-                        "bucket_ts": pd.to_datetime(coarse[idx] * 10**3),
+                        "bucket_ts": _dt_ns(coarse[idx] * 10**3),
                         "n_points": pdf["n_points"].to_numpy()[idx].astype(
                             np.int64
                         ),
@@ -273,14 +280,14 @@ def compact_blocks(
                     {
                         "source": src_arr[idx],
                         "doc_id": docs[idx],
-                        "bucket_ts": pd.to_datetime(coarse[idx] * 10**3),
+                        "bucket_ts": _dt_ns(coarse[idx] * 10**3),
                         "n_points": np.asarray(
                             [len(rt) for rt in runs_ts], dtype=np.int64
                         ),
-                        "min_ts": pd.to_datetime(
+                        "min_ts": _dt_ns(
                             np.array([rt[0] for rt in runs_ts]) * 10**3
                         ),
-                        "max_ts": pd.to_datetime(
+                        "max_ts": _dt_ns(
                             np.array([rt[-1] for rt in runs_ts]) * 10**3
                         ),
                         "codec": CODEC_NAME,
@@ -341,7 +348,7 @@ def roundtrip_points(
             {
                 "source": np.repeat(pdf["source"].iloc[0], len(ts)),
                 "doc_id": np.repeat(docs[starts], counts),
-                "ts": pd.to_datetime(ts * 10**3),
+                "ts": _dt_ns(ts * 10**3),
                 "value": out_vals,
             }
         )
@@ -374,7 +381,7 @@ def decode_blocks(blocks: DataFrame) -> DataFrame:
                 {
                     "source": np.repeat(pdf["source"].to_numpy(), counts),
                     "doc_id": np.repeat(pdf["doc_id"].to_numpy(), counts),
-                    "ts": pd.to_datetime(ts * 10**3),
+                    "ts": _dt_ns(ts * 10**3),
                     "value": vals,
                 }
             )

@@ -26,6 +26,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def _dt_ns(ns):
+    """int64 epoch-ns ndarray -> datetime64[ns], as a free reinterpret.
+    pd.to_datetime on integer input takes the per-element object path
+    (~0.28 s per million rows); the values are identical."""
+    import numpy as np
+
+    return np.ascontiguousarray(ns, dtype=np.int64).view("datetime64[ns]")
+
 TIERS = {"1m": 60, "5m": 300, "1h": 3600}
 SERIES_KEYS = ["source", "doc_id"]
 
@@ -200,7 +209,7 @@ def rollup_tokens_native(
                 {
                     "source": pdf["source"].to_numpy()[d[starts]],
                     "doc_id": pdf["doc_id"].to_numpy()[d[starts]],
-                    "bucket_ts": pd.to_datetime(bucket[starts] * 10**9),
+                    "bucket_ts": _dt_ns(bucket[starts] * 10**9),
                     "n_obs": n_obs,
                     "sum_val": sums,
                     "min_val": np.minimum.reduceat(vf, starts),
@@ -310,7 +319,7 @@ def ladder_frames(
         cols = {
             "source": src_arr[td],
             "doc_id": doc_arr[td],
-            "bucket_ts": pd.to_datetime(tb * 10**9),
+            "bucket_ts": _dt_ns(tb * 10**9),
             "n_obs": tn,
             "sum_val": ts_,
             "min_val": tmn,

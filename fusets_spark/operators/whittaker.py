@@ -315,9 +315,12 @@ def whittaker_gapfill(
                     {
                         "source": src_b[row_idx],
                         "doc_id": doc_b[row_idx],
-                        "ts": pd.to_datetime(
+                        # free int64→datetime64[ns] reinterpret:
+                        # pd.to_datetime on ints takes the object path
+                        # (~0.28 s per million grid rows)
+                        "ts": (
                             (ep0s[row_idx] + grid_seconds * gpos) * 10**9
-                        ),
+                        ).view("datetime64[ns]"),
                         "value_smooth": Z[row_idx, gpos],
                     }
                 )

@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..codec.blocks import BLOCK_SCHEMA, CODEC_NAME
+from ..codec.blocks import BLOCK_SCHEMA, CODEC_NAME, _dt_ns
 from ..codec.gorilla import encode_blocks_batched
 
 # open points ride the state store as PACKED BINARY columns (raw numpy
@@ -82,10 +82,10 @@ def _seal(
     frame = pd.DataFrame(
         {
             "doc_id": sdocs[bs],
-            "bucket_ts": pd.to_datetime(sbkt[bs] * 10**3),
+            "bucket_ts": _dt_ns(sbkt[bs] * 10**3),
             "n_points": (be - bs).astype(np.int64),
-            "min_ts": pd.to_datetime(sts[bs] * 10**3),
-            "max_ts": pd.to_datetime(sts[be - 1] * 10**3),
+            "min_ts": _dt_ns(sts[bs] * 10**3),
+            "max_ts": _dt_ns(sts[be - 1] * 10**3),
             "codec": CODEC_NAME,
             "block": blocks,
         }
