@@ -521,12 +521,19 @@ def neardup_components(
         # would launch two. max_iter is a fold budget rounded up to the
         # enclosing check (a check may run up to 2 folds past it before
         # the convergence test fires).
-        # The FIRST check runs three folds: LSH candidate graphs are
-        # overwhelmingly diameter ≤ 2 (near-clique buckets chained
-        # across bands), so folds 1-2 finish them and fold 3 confirms —
-        # the whole query then needs exactly ONE materialized job.
+        # The FIRST check runs FOUR folds: LSH candidate graphs are
+        # overwhelmingly propagation-depth ≤ 3 (near-clique buckets
+        # chained across bands; depth 2 dominates small corpora, depth 3
+        # shows up once band-collision chains span more buckets — the
+        # 10× corpus measured exactly that, costing a whole second
+        # check job under the old 3-fold first check), so folds 1-3
+        # finish them and fold 4 confirms — the whole query then needs
+        # exactly ONE materialized job. A fold INSIDE the job is one
+        # extra join+groupBy stage (~0.2 s at these sizes); a second
+        # CHECK is a full job launch + count round trip (~1.5-2 s), so
+        # over-folding by one is cheap insurance both ways.
         # Later checks drop back to two folds between jump pairs.
-        n_folds = 3 if rounds == 0 else 2
+        n_folds = 4 if rounds == 0 else 2
         cur = labels.select("doc", "label")
         for f in range(n_folds):
             rounds += 1

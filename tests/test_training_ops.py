@@ -478,9 +478,11 @@ def test_bmp_decode_roundtrip():
 
 
 def test_neardup_components_shallow_graph_single_check(spark):
-    """The round-6 contract: a diameter-≤2 graph (star — the LSH
-    hot-bucket cap's output shape) must converge in ONE materialized
-    check (3 folds: fold 1-2 finish it, fold 3 self-confirms)."""
+    """The one-check contract (round 7: first check widened to 4 folds
+    so propagation-depth-3 graphs — measured on the 10× corpus — also
+    finish in one job): a diameter-≤2 graph (star — the LSH hot-bucket
+    cap's output shape) must converge in ONE materialized check
+    (folds 1-2 finish it, the last fold self-confirms)."""
     from fusets_spark.operators.dedup import neardup_components
 
     n = 50
@@ -490,12 +492,12 @@ def test_neardup_components_shallow_graph_single_check(spark):
     got = neardup_components(docs, pairs, _rounds_out=rounds).toPandas()
     assert (got["component"] == 0).all()
     assert got["is_survivor"].sum() == 1
-    assert rounds[0] == 3, f"star took {rounds[0]} folds (1 check = 3)"
+    assert rounds[0] == 4, f"star took {rounds[0]} folds (1 check = 4)"
 
 
 def test_neardup_components_mid_depth_needs_second_check(spark):
     """A path of 6 nodes labeled from the high end (5-4-3-2-1-0) has
-    propagation depth 5: check 1's three folds still change labels on
+    propagation depth 5: check 1's four folds still change labels on
     their last fold, so the loop must NOT stop early — a second check
     finishes and confirms. Guards the last-fold convergence test against
     off-by-one early exits."""
@@ -507,7 +509,7 @@ def test_neardup_components_mid_depth_needs_second_check(spark):
     got = neardup_components(docs, pairs, _rounds_out=rounds).toPandas()
     assert (got["component"] == 0).all()
     assert got["is_survivor"].sum() == 1
-    assert rounds[0] > 3, "depth-5 path cannot finish in one check"
+    assert rounds[0] > 4, "depth-5 path cannot finish in one check"
 
 
 def test_embedding_neardup_hot_bucket_cap_linear(spark):
